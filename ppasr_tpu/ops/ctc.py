@@ -1,0 +1,100 @@
+"""CTC loss as a vectorized log-semiring dynamic program.
+
+Replaces the reference's warp-ctc kernel (ppasr/model_utils/loss/ctc.py:27-50,
+which calls paddle.nn.CTCLoss with reduction='sum' then divides by batch size)
+with an in-house JAX implementation:
+
+- the alpha recursion runs as one ``lax.scan`` over time with the whole batch
+  and the extended-label axis vectorized (shapes [B, 2U+1]) — MXU/VPU friendly,
+  no per-utterance Python;
+- variable input/label lengths are handled by masking inside the scan, so the
+  function is fully jit/vmap/pjit compatible with static padded shapes;
+- gradients come from JAX autodiff through the scan (exact CTC gradient).
+
+Blank id is 0 (reference vocab layout: <blank>=0, trainer.py:479-487).
+Label padding uses IGNORE_ID=-1 (reference collate_fn.py:7-41).
+"""
+import jax
+import jax.numpy as jnp
+
+LOG_EPSILON = -1e30
+
+
+def _interleave_blanks(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """[B, U] → [B, 2U+1] extended sequence (blank, l1, blank, ..., lU, blank)."""
+    bsz, max_u = labels.shape
+    ext = jnp.full((bsz, 2 * max_u + 1), blank, dtype=labels.dtype)
+    return ext.at[:, 1::2].set(labels)
+
+
+def ctc_loss(log_probs: jnp.ndarray,
+             input_lengths: jnp.ndarray,
+             labels: jnp.ndarray,
+             label_lengths: jnp.ndarray,
+             blank: int = 0,
+             average_batch: bool = True) -> jnp.ndarray:
+    """Negative log likelihood of the CTC alignment lattice.
+
+    Args:
+      log_probs: [B, T, V] log-softmax outputs.
+      input_lengths: [B] int frames per utterance.
+      labels: [B, U] int targets, padded with -1 (or any value; padding is
+        masked by label_lengths).
+      label_lengths: [B] int target lengths.
+      blank: blank token id.
+      average_batch: True → sum over batch / B (reference ctc.py:47-49);
+        False → per-utterance vector [B].
+
+    Returns: scalar loss (or [B] when average_batch=False).
+    """
+    bsz, max_t, _ = log_probs.shape
+    max_u = labels.shape[1]
+    s_len = 2 * max_u + 1
+
+    labels = jnp.where(labels < 0, 0, labels)  # sanitize pad for gathers
+    ext = _interleave_blanks(labels, blank)  # [B, S]
+
+    # Valid extended positions: s < 2*label_len+1.
+    s_idx = jnp.arange(s_len, dtype=jnp.int32)[None, :]
+    valid_s = s_idx < (2 * label_lengths.astype(jnp.int32) + 1)[:, None]
+
+    # Skip-transition allowed: s>=2, ext[s] != blank, ext[s] != ext[s-2].
+    ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank)[:, :s_len]
+    can_skip = (s_idx >= 2) & (ext != blank) & (ext != ext_m2)
+
+    # alpha_0
+    alpha0 = jnp.full((bsz, s_len), LOG_EPSILON, dtype=log_probs.dtype)
+    emit0 = jnp.take_along_axis(log_probs[:, 0, :], ext, axis=1)
+    alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
+    has_label = (label_lengths > 0)
+    alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, emit0[:, 1], LOG_EPSILON))
+    alpha0 = jnp.where(valid_s, alpha0, LOG_EPSILON)
+
+    def step(alpha, t):
+        prev1 = jnp.pad(alpha, ((0, 0), (1, 0)),
+                        constant_values=LOG_EPSILON)[:, :s_len]
+        prev2 = jnp.pad(alpha, ((0, 0), (2, 0)),
+                        constant_values=LOG_EPSILON)[:, :s_len]
+        prev2 = jnp.where(can_skip, prev2, LOG_EPSILON)
+        merged = jnp.logaddexp(jnp.logaddexp(alpha, prev1), prev2)
+        emit = jnp.take_along_axis(log_probs[:, t, :], ext, axis=1)
+        new_alpha = jnp.where(valid_s, merged + emit, LOG_EPSILON)
+        # Freeze once past this utterance's final frame so the end-read below
+        # sees alpha at t = input_length-1.
+        active = (t < input_lengths.astype(jnp.int32))[:, None]
+        new_alpha = jnp.where(active, new_alpha, alpha)
+        return new_alpha, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, max_t, dtype=jnp.int32))
+
+    # loglik = logsumexp(alpha[2U], alpha[2U-1]); for U==0 only alpha[0].
+    u = label_lengths.astype(jnp.int32)
+    last = jnp.take_along_axis(alpha, (2 * u)[:, None], axis=1)[:, 0]
+    second = jnp.take_along_axis(alpha, jnp.maximum(2 * u - 1, 0)[:, None],
+                                 axis=1)[:, 0]
+    second = jnp.where(u > 0, second, LOG_EPSILON)
+    loglik = jnp.logaddexp(last, second)
+    nll = -loglik
+    if average_batch:
+        return jnp.sum(nll) / bsz
+    return nll
