@@ -1,0 +1,138 @@
+"""Dataset + collate: manifest entries → padded numpy batches.
+
+Capability parity with reference ppasr/data_utils/reader.py:17-117 (txt or
+binary manifest; per-item audio read → audio augmentation → featurize → CMVN →
+feature augmentation) and collate_fn.py:7-41 (pad time and label axes, label
+pad −1, int64 lengths, shuffle within the sorted batch).
+
+TPU-first addition: ``collate_fn`` can round the padded time/label axes up to
+a bucket multiple so the jitted train step sees a small, fixed set of shapes
+(pad-to-bucket avoids an XLA recompile per batch — SURVEY.md §7.3
+"variable-length batches").
+"""
+import random
+
+import numpy as np
+
+from ppasr_tpu.data.audio import AudioSegment
+from ppasr_tpu.data.augmentor.augmentation import AugmentationPipeline
+from ppasr_tpu.data.binary import DatasetReader
+from ppasr_tpu.data.featurizer.audio_featurizer import AudioFeaturizer
+from ppasr_tpu.data.featurizer.text_featurizer import TextFeaturizer
+from ppasr_tpu.data.manifest import read_manifest
+from ppasr_tpu.data.normalizer import FeatureNormalizer
+
+
+class ASRDataset:
+    """Indexable dataset of (features [T, D] float32, token ids [U] int32)."""
+
+    def __init__(self,
+                 manifest_path: str,
+                 vocab_filepath: str,
+                 mean_istd_filepath: str = None,
+                 preprocess_conf: dict = None,
+                 min_duration: float = 0.5,
+                 max_duration: float = 20,
+                 manifest_type: str = 'txt',
+                 augmentation_config: list = None,
+                 train: bool = False):
+        preprocess_conf = dict(preprocess_conf or {})
+        self.dataset_reader = None
+        if manifest_type == 'txt':
+            if max_duration < 0:
+                max_duration = float('inf')
+            self.manifest = read_manifest(manifest_path,
+                                          max_duration=max_duration,
+                                          min_duration=min_duration)
+        elif manifest_type == 'binary':
+            self.dataset_reader = DatasetReader(manifest_path,
+                                                min_duration=min_duration,
+                                                max_duration=max_duration)
+            self.manifest = None
+        else:
+            raise ValueError(f"unsupported manifest_type: {manifest_type}")
+
+        self.audio_featurizer = AudioFeaturizer(**preprocess_conf, train=train)
+        self.text_featurizer = TextFeaturizer(vocab_filepath)
+        self.normalizer = (FeatureNormalizer(mean_istd_filepath)
+                           if mean_istd_filepath else None)
+        self.augmentation = AugmentationPipeline(augmentation_config) \
+            if (train and augmentation_config) else None
+
+    def __len__(self):
+        if self.dataset_reader is not None:
+            return len(self.dataset_reader)
+        return len(self.manifest)
+
+    def entry(self, idx: int) -> dict:
+        if self.dataset_reader is not None:
+            return self.dataset_reader.get_data(idx)
+        return self.manifest[idx]
+
+    @property
+    def durations(self):
+        return [self.entry(i).get('duration', 0.0) for i in range(len(self))]
+
+    def __getitem__(self, idx: int):
+        instance = self.entry(idx)
+        if 'start_time' in instance:
+            audio = AudioSegment.slice_from_file(instance['audio_filepath'],
+                                                 start=instance['start_time'],
+                                                 end=instance['end_time'])
+        else:
+            audio = AudioSegment.from_file(instance['audio_filepath'])
+        if self.augmentation is not None:
+            self.augmentation.transform_audio(audio)
+        feature = self.audio_featurizer.featurize(audio)
+        if self.normalizer is not None and self.normalizer.mean is not None:
+            feature = self.normalizer.apply(feature)
+        if self.augmentation is not None:
+            feature = self.augmentation.transform_feature(feature)
+        tokens = np.asarray(self.text_featurizer.featurize(instance['text']),
+                            np.int32)
+        return feature.astype(np.float32), tokens
+
+    @property
+    def feature_dim(self):
+        return self.audio_featurizer.feature_dim
+
+    @property
+    def vocab_size(self):
+        return self.text_featurizer.vocab_size
+
+    @property
+    def vocab_list(self):
+        return self.text_featurizer.vocab_list
+
+
+def _round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+def collate_fn(batch, time_bucket: int = 1, label_bucket: int = 1,
+               shuffle: bool = True):
+    """List of (feature [T, D], tokens [U]) → padded arrays.
+
+    Returns (inputs [B, Tmax, D] f32, labels [B, Umax] i32 pad −1,
+    input_lens [B] i64, label_lens [B] i64) — the reference collate contract
+    (collate_fn.py:7-41). ``time_bucket``/``label_bucket`` round the padded
+    axes up to a multiple for shape stability under jit."""
+    if shuffle:
+        batch = list(batch)
+        random.shuffle(batch)
+    bsz = len(batch)
+    dim = batch[0][0].shape[1]
+    max_t = _round_up(max(f.shape[0] for f, _ in batch), time_bucket)
+    max_u = _round_up(max(max(len(t) for _, t in batch), 1), label_bucket)
+
+    inputs = np.zeros((bsz, max_t, dim), np.float32)
+    labels = np.full((bsz, max_u), -1, np.int32)
+    input_lens = np.zeros((bsz,), np.int64)
+    label_lens = np.zeros((bsz,), np.int64)
+    for i, (feature, tokens) in enumerate(batch):
+        t, u = feature.shape[0], len(tokens)
+        inputs[i, :t] = feature
+        labels[i, :u] = tokens
+        input_lens[i] = t
+        label_lens[i] = u
+    return inputs, labels, input_lens, label_lens

@@ -1,0 +1,66 @@
+"""Prefetching data loader: sampler + dataset + collate on worker threads.
+
+Replaces the reference's paddle.io.DataLoader worker subprocesses
+(ppasr/trainer.py:107-112) with a thread pool + bounded prefetch queue —
+numpy/scipy release the GIL in the hot ops, and host→device transfer overlaps
+with the next batch's featurization.
+"""
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+from ppasr_tpu.data.dataset import collate_fn
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_sampler, num_workers: int = 4,
+                 prefetch_factor: int = 2, time_bucket: int = 16,
+                 label_bucket: int = 8, shuffle_in_batch: bool = True):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch_factor)
+        self.time_bucket = time_bucket
+        self.label_bucket = label_bucket
+        self.shuffle_in_batch = shuffle_in_batch
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def _load_batch(self, indices):
+        items = [self.dataset[i] for i in indices]
+        return collate_fn(items, self.time_bucket, self.label_bucket,
+                          shuffle=self.shuffle_in_batch)
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.prefetch * self.num_workers)
+        stop = threading.Event()
+        _SENTINEL = object()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                try:
+                    for out in pool.map(self._load_batch,
+                                        iter(self.batch_sampler)):
+                        if stop.is_set():
+                            break
+                        q.put(out)
+                finally:
+                    q.put(_SENTINEL)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
