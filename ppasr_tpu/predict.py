@@ -1,0 +1,357 @@
+"""Inference runtime: offline, long-audio (VAD-segmented), and streaming.
+
+Capability parity with reference ppasr/predict.py (PPASRPredictor):
+- predict (:163-187): featurize → model → decode (+ optional punctuation).
+- predict_long (:190-229): VAD segmentation → per-segment predict → join.
+- predict_stream (:232-337): accumulate PCM, featurize only new audio,
+  chunk math decoding_chunk_size=16 / context=7 / subsampling=4 ⇒ window 67
+  stride 64, per-window chunk step, streaming greedy/beam decode,
+  reset_stream (:340-347).
+
+TPU-native difference (the key inefficiency SURVEY.md §3.5 flags in the
+reference): att/cnn caches never leave the device — the StreamingState pytree
+stays in HBM between predict_stream() calls, and the chunk step is one jitted
+program reused across all chunks and streams. Offline inputs are padded to
+1-second buckets so jit compiles a handful of shapes, not one per utterance.
+"""
+import json
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ppasr_tpu.data.audio import AudioSegment
+from ppasr_tpu.data.featurizer.audio_featurizer import AudioFeaturizer
+from ppasr_tpu.data.featurizer.text_featurizer import TextFeaturizer
+from ppasr_tpu.decoders.greedy import (GreedyStreamingDecoder, greedy_decoder,
+                                       greedy_decoder_batch)
+from ppasr_tpu.models.factory import build_model
+from ppasr_tpu.utils.common import dict_to_object
+from ppasr_tpu.utils.logger import setup_logger
+from ppasr_tpu.config import load_config
+
+logger = setup_logger(__name__)
+
+
+class PPASRPredictor:
+    def __init__(self, configs=None, model_path: str = None,
+                 use_gpu: bool = True, decoder: str = None,
+                 decoder_configs: dict = None,
+                 use_pun: bool = False, pun_model_dir: str = None,
+                 vocab_path: str = None, mean_istd_path: str = None,
+                 decoding_chunk_size: int = 16,
+                 num_decoding_left_chunks: int = -1,
+                 time_bucket_frames: int = 100):
+        """``model_path``: exported dir containing model.msgpack +
+        inference.json (see PPASRTrainer.export)."""
+        self.configs = load_config(configs) if configs is not None else None
+        with open(os.path.join(model_path, 'inference.json'), 'r',
+                  encoding='utf-8') as f:
+            infer_conf = json.load(f)
+        self.use_model = infer_conf['use_model']
+        self.streaming = infer_conf['streaming']
+        self.input_dim = infer_conf['input_dim']
+        self.vocab_size = infer_conf['vocab_size']
+        self.time_bucket_frames = time_bucket_frames
+
+        if self.configs is not None:
+            preprocess_conf = dict(self.configs.preprocess_conf)
+            dataset_conf = self.configs.dataset_conf
+            vocab_path = vocab_path or dataset_conf.dataset_vocab
+            mean_istd_path = mean_istd_path or dataset_conf.mean_istd_path
+            self.decoder_name = decoder or self.configs.get('decoder',
+                                                            'ctc_greedy')
+            self.decoder_configs = decoder_configs or dict(
+                self.configs.get('ctc_beam_search_decoder_conf', {}) or {})
+        else:
+            preprocess_conf = {'feature_method': 'fbank',
+                               'n_mels': self.input_dim}
+            self.decoder_name = decoder or 'ctc_greedy'
+            self.decoder_configs = decoder_configs or {}
+
+        self.audio_featurizer = AudioFeaturizer(**preprocess_conf,
+                                                train=False)
+        self.text_featurizer = TextFeaturizer(vocab_path)
+        self.vocab_list = self.text_featurizer.vocab_list
+
+        self.model = build_model(
+            self.use_model, self.input_dim, self.vocab_size,
+            streaming=self.streaming,
+            encoder_conf=infer_conf.get('encoder_conf'),
+            decoder_conf=infer_conf.get('decoder_conf'),
+            model_conf=infer_conf.get('model_conf'),
+            mean_istd_path=mean_istd_path)
+        params_shape = self._init_params_shape()
+        with open(os.path.join(model_path, 'model.msgpack'), 'rb') as f:
+            self.params = serialization.from_bytes(params_shape, f.read())
+
+        # chunk math (reference predict.py:277-283)
+        self.decoding_chunk_size = decoding_chunk_size
+        self.num_decoding_left_chunks = num_decoding_left_chunks
+        self.subsampling = 4
+        self.context = 7
+        self.decoding_window = (decoding_chunk_size - 1) * self.subsampling \
+            + self.context  # 67
+        self.stride = decoding_chunk_size * self.subsampling  # 64
+        left = num_decoding_left_chunks if num_decoding_left_chunks > 0 \
+            else 16  # static cap emulating "all history"
+        self.cache_size = decoding_chunk_size * left
+
+        self._predict_fn = jax.jit(lambda p, s, l: self.model.apply(
+            p, s, l, method='get_encoder_out'))
+        if self.use_model == 'deepspeech2':
+            self._chunk_fn = jax.jit(
+                lambda p, x, xl, st: self.model.apply(
+                    p, x, xl, st, method='get_encoder_out_chunk'))
+        else:
+            self._chunk_fn = jax.jit(lambda p, x, st: self.model.apply(
+                p, x, st, method='get_encoder_out_chunk'))
+
+        self._init_decoder()
+        self.reset_stream()
+        self._warm_up()
+
+    def _init_params_shape(self):
+        rng = jax.random.PRNGKey(0)
+        speech = jnp.zeros((1, 64, self.input_dim), jnp.float32)
+        lens = jnp.asarray([64])
+        text = jnp.asarray([[1, -1]], jnp.int32)
+        tlens = jnp.asarray([1])
+        return jax.eval_shape(
+            lambda: self.model.init({'params': rng, 'dropout': rng,
+                                     'chunk': rng}, speech, lens, text,
+                                    tlens, deterministic=True))
+
+    def _init_decoder(self):
+        """Beam-search decoder with graceful greedy fallback (reference
+        predict.py:92-105)."""
+        self._beam_decoder = None
+        if self.decoder_name == 'ctc_beam_search':
+            try:
+                from ppasr_tpu.decoders.beam_search import BeamSearchDecoder
+                self._beam_decoder = BeamSearchDecoder(
+                    vocab_list=self.vocab_list, **self.decoder_configs)
+            except Exception as e:
+                logger.warning(f"beam search unavailable ({e}); "
+                               f"falling back to ctc_greedy")
+                self.decoder_name = 'ctc_greedy'
+        self._stream_decoder = GreedyStreamingDecoder(self.vocab_list)
+
+    def _warm_up(self):
+        warm = np.random.uniform(-0.1, 0.1, 16000).astype(np.float32)
+        try:
+            self.predict(warm)
+            if self.streaming:
+                self.predict_stream(warm, is_end=True)
+                self.reset_stream()
+        except Exception as e:
+            logger.warning(f"warm-up failed: {e}")
+
+    # ------------------------------------------------------------- helpers
+
+    def _load_audio(self, audio_data, sample_rate=16000) -> AudioSegment:
+        """path / bytes / ndarray / AudioSegment → AudioSegment (reference
+        predict.py:142-160)."""
+        if isinstance(audio_data, AudioSegment):
+            return audio_data
+        if isinstance(audio_data, str):
+            return AudioSegment.from_file(audio_data)
+        if isinstance(audio_data, bytes):
+            return AudioSegment.from_pcm_bytes(audio_data,
+                                               sample_rate=sample_rate)
+        if isinstance(audio_data, np.ndarray):
+            return AudioSegment.from_ndarray(audio_data, sample_rate)
+        raise TypeError(f"unsupported audio_data type: {type(audio_data)}")
+
+    def _pad_bucket(self, feat: np.ndarray):
+        t = feat.shape[0]
+        bucket = max(self.time_bucket_frames,
+                     int(math.ceil(t / self.time_bucket_frames))
+                     * self.time_bucket_frames)
+        padded = np.zeros((1, bucket, feat.shape[1]), np.float32)
+        padded[0, :t] = feat
+        return padded, t
+
+    def _decode_offline(self, probs: np.ndarray, out_len: int):
+        if self._beam_decoder is not None:
+            return self._beam_decoder.decode(probs[:out_len])
+        return greedy_decoder(probs[:out_len], self.vocab_list)
+
+    # -------------------------------------------------------------- offline
+
+    def predict(self, audio_data, use_pun: bool = False,
+                is_itn: bool = False, sample_rate: int = 16000):
+        """Offline recognition → {'text', 'score'} (reference
+        predict.py:163-187)."""
+        audio = self._load_audio(audio_data, sample_rate)
+        feat = self.audio_featurizer.featurize(audio)
+        padded, t = self._pad_bucket(feat)
+        lens = jnp.asarray([t])
+        probs, olens = self._predict_fn(self.params, jnp.asarray(padded),
+                                        lens)
+        score, text = self._decode_offline(np.asarray(probs[0]),
+                                           int(olens[0]))
+        if use_pun:
+            text = self._restore_punctuation(text)
+        if is_itn:
+            text = self._inverse_text_normalization(text)
+        return {'text': text, 'score': score}
+
+    def predict_long(self, audio_data, use_pun: bool = False,
+                     is_itn: bool = False, sample_rate: int = 16000):
+        """VAD-segmented long-audio recognition (reference
+        predict.py:190-229)."""
+        from ppasr_tpu.infer_utils.vad_predictor import VADPredictor
+        audio = self._load_audio(audio_data, sample_rate)
+        if audio.sample_rate != 16000:
+            audio.resample(16000)
+        vad = VADPredictor(sampling_rate=audio.sample_rate)
+        speeches = vad.get_speech_timestamps(audio.samples)
+        if not speeches:
+            speeches = [{'start': 0, 'end': audio.num_samples}]
+        texts, scores = [], []
+        samples = audio.samples
+        for seg in speeches:
+            part = AudioSegment(samples[seg['start']:seg['end']],
+                                audio.sample_rate)
+            result = self.predict(part, use_pun=False, is_itn=is_itn)
+            if result['text']:
+                texts.append(result['text'])
+                scores.append(result['score'])
+        text = '，'.join(texts)
+        if use_pun and text:
+            text = self._restore_punctuation(text)
+        return {'text': text,
+                'score': float(np.mean(scores)) if scores else 0.0}
+
+    # ------------------------------------------------------------ streaming
+
+    def reset_stream(self):
+        """Clear wav/feature/device/decoder state (reference
+        predict.py:340-347)."""
+        self._remained_wav = np.zeros(0, np.float32)
+        self._cached_feat = None
+        self._state = None
+        self._stream_decoder = GreedyStreamingDecoder(self.vocab_list)
+        if self._beam_decoder is not None:
+            self._beam_decoder.reset()
+
+    def predict_stream(self, audio_data, is_end: bool = False,
+                       use_pun: bool = False, is_itn: bool = False,
+                       channels: int = 1, samp_width: int = 2,
+                       sample_rate: int = 16000):
+        """Incremental recognition (reference predict.py:232-337).
+
+        Returns {'text', 'score'} for the utterance so far."""
+        if not self.streaming:
+            raise RuntimeError("model was built non-streaming; "
+                               "use predict() instead")
+        if isinstance(audio_data, bytes):
+            audio = AudioSegment.from_pcm_bytes(audio_data, channels,
+                                                samp_width, sample_rate)
+        else:
+            audio = self._load_audio(audio_data, sample_rate)
+        if audio.sample_rate != 16000:
+            audio.resample(16000)
+        self._remained_wav = np.concatenate([self._remained_wav,
+                                             audio.samples])
+
+        # featurize everything buffered; keep the un-framed tail
+        if len(self._remained_wav) >= 400:
+            seg = AudioSegment(self._remained_wav.copy(), 16000)
+            feat = self.audio_featurizer.featurize(seg)
+            t = feat.shape[0]
+            if t > 0:
+                self._remained_wav = self._remained_wav[t * 160:]
+                self._cached_feat = feat if self._cached_feat is None \
+                    else np.concatenate([self._cached_feat, feat])
+
+        result_text, result_score = None, None
+
+        # consume full windows
+        while (self._cached_feat is not None
+               and self._cached_feat.shape[0] >= self.decoding_window):
+            window = self._cached_feat[:self.decoding_window]
+            self._cached_feat = self._cached_feat[self.stride:]
+            probs = self._run_chunk(window)
+            if self._beam_decoder is not None:
+                score, text = self._beam_decoder.decode_chunk(probs)
+            else:
+                score, text = self._stream_decoder.decode_chunk(probs)
+            result_score, result_text = score, text
+
+        if is_end and self._cached_feat is not None \
+                and self._cached_feat.shape[0] >= self.context:
+            # flush the remaining partial window
+            window = self._cached_feat
+            self._cached_feat = None
+            probs = self._run_chunk(window)
+            if probs.shape[0] > 0:
+                if self._beam_decoder is not None:
+                    score, text = self._beam_decoder.decode_chunk(probs)
+                else:
+                    score, text = self._stream_decoder.decode_chunk(probs)
+                result_score, result_text = score, text
+
+        if result_text is None:
+            # no new window this call: re-emit current hypothesis
+            score, text = self._stream_decoder.current() \
+                if self._beam_decoder is None else \
+                self._beam_decoder.current()
+            result_score, result_text = score, text
+
+        text = result_text or ''
+        if use_pun and text:
+            text = self._restore_punctuation(text)
+        if is_itn and text:
+            text = self._inverse_text_normalization(text)
+        return {'text': text, 'score': result_score or 0.0}
+
+    def _run_chunk(self, window_feat: np.ndarray) -> np.ndarray:
+        """One encoder chunk step on device; returns [T_out, V] probs."""
+        if self._state is None:
+            if self.use_model == 'deepspeech2':
+                self._state = self.model.init_state(1)
+            else:
+                self._state = self.model.init_state(1, self.cache_size)
+        # pad variable flush windows up to decoding_window for shape reuse
+        t = window_feat.shape[0]
+        if t < self.decoding_window:
+            padded = np.zeros((self.decoding_window, window_feat.shape[1]),
+                              np.float32)
+            padded[:t] = window_feat
+            window_feat = padded
+        xs = jnp.asarray(window_feat[None])
+        if self.use_model == 'deepspeech2':
+            probs, olens, self._state = self._chunk_fn(
+                self.params, xs, jnp.asarray([t]), self._state)
+            out = np.asarray(probs[0, :int(olens[0])])
+        else:
+            valid_out = ((t - self.context) // self.subsampling) + 1
+            probs, self._state = self._chunk_fn(self.params, xs, self._state)
+            out = np.asarray(probs[0][:valid_out])
+        return out
+
+    # ------------------------------------------------- punctuation & itn
+
+    def _restore_punctuation(self, text: str) -> str:
+        try:
+            from ppasr_tpu.infer_utils.pun_predictor import PunctuationPredictor
+            if not hasattr(self, '_pun_predictor'):
+                self._pun_predictor = PunctuationPredictor()
+            return self._pun_predictor(text)
+        except Exception as e:
+            logger.warning(f"punctuation restoration unavailable: {e}")
+            return text
+
+    def _inverse_text_normalization(self, text: str) -> str:
+        try:
+            from itn.chinese.inverse_normalizer import InverseNormalizer
+            if not hasattr(self, '_itn'):
+                self._itn = InverseNormalizer()
+            return self._itn.normalize(text)
+        except Exception:
+            return text

@@ -1,0 +1,97 @@
+"""Train step machinery: train state, jitted step with grad accumulation,
+data-parallel sharding.
+
+Replaces the reference's fleet/DDP wrapper (ppasr/trainer.py:529-544,
+369-394): gradients are averaged by pjit-inserted collectives over the
+``data`` mesh axis instead of NCCL allreduce; grad accumulation runs as a
+``lax.scan`` over micro-batches inside one compiled step (the reference's
+``no_sync`` dance is unnecessary — the psum happens once per step by
+construction).
+"""
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_train_step(model, tx, accum_grad: int = 1):
+    """Build the jitted train step.
+
+    The step takes micro-batched arrays shaped [accum, B, ...] and scans over
+    the leading axis, averaging gradients — one optimizer update per call
+    (reference grad-accum contract, trainer.py:369-394)."""
+
+    def loss_fn(params, batch, rngs):
+        out = model.apply(params, batch['speech'], batch['speech_lens'],
+                          batch['text'], batch['text_lens'],
+                          deterministic=False, rngs=rngs)
+        metrics = {k: (v if v is not None else jnp.zeros(()))
+                   for k, v in out.items()}
+        return out['loss'], metrics
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batches, rng):
+        """batches: pytree of [accum, B, ...] arrays."""
+        def micro(carry, inp):
+            acc_grads, i = carry
+            batch = inp
+            step_rng = jax.random.fold_in(rng, i)
+            rngs = {'dropout': step_rng,
+                    'chunk': jax.random.fold_in(step_rng, 1)}
+            (loss, metrics), grads = grad_fn(state.params, batch, rngs)
+            acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+            return (acc_grads, i + 1), metrics
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, _), metrics = jax.lax.scan(
+            micro, (zero_grads, jnp.zeros((), jnp.int32)), batches)
+        grads = jax.tree.map(lambda g: g / accum_grad, grads)
+        metrics = jax.tree.map(lambda m: m.mean(), metrics)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt_state)
+        return new_state, metrics
+
+    return train_step
+
+
+def data_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over all local devices (DP over ICI/DCN —
+    SURVEY.md §2.2)."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ('data',))
+
+
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """Place batch arrays with dim ``batch_axis`` sharded over 'data'
+    (axis 1 for [accum, B, ...] micro-batched training arrays, axis 0 for
+    plain eval batches)."""
+    def put(x):
+        spec = [None] * x.ndim
+        spec[batch_axis] = 'data'
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return jax.tree.map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

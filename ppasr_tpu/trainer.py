@@ -1,0 +1,501 @@
+"""Training orchestration.
+
+Capability parity with reference ppasr/trainer.py (PPASRTrainer):
+- create_data (:428-504): manifests → vocab → CMVN stats → optional binary.
+- train (:506-590): seeded, epoch loop with sortagrad loaders, grad accum,
+  LR schedule, per-interval ips/eta logging, checkpoints (epoch_N /
+  last_model / best_model with rolling delete), auto-resume.
+- evaluate (:592-645): greedy/beam decode + cer/wer.
+- export (:647-694): inference artifact = params + config (the compiled jit
+  functions are rebuilt at load; there is no separate static-graph format).
+
+TPU-native: one jitted train step per (shape-bucket) that scans over
+``accum_grad`` micro-batches; data parallelism via a jax.sharding mesh with
+pjit-inserted gradient psum (no fleet/NCCL plumbing).
+"""
+import json
+import os
+import shutil
+import time
+from collections import Counter
+from datetime import timedelta
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flax import serialization
+
+from ppasr_tpu.config import load_augmentation_config, load_config
+from ppasr_tpu.data.dataset import ASRDataset
+from ppasr_tpu.data.loader import DataLoader
+from ppasr_tpu.data.manifest import (count_manifest, create_manifest,
+                                     create_manifest_binary, create_noise,
+                                     read_manifest)
+from ppasr_tpu.data.normalizer import FeatureNormalizer
+from ppasr_tpu.data.sampler import (SortagradBatchSampler,
+                                    SortagradDistributedBatchSampler)
+from ppasr_tpu.decoders.greedy import greedy_decoder_batch
+from ppasr_tpu.models.factory import build_model
+from ppasr_tpu.optimizer.factory import build_optimizer
+from ppasr_tpu.train_state import (TrainState, create_train_state, data_mesh,
+                                   make_train_step, replicate, shard_batch)
+from ppasr_tpu.utils.common import dict_to_object, labels_to_string
+from ppasr_tpu.utils.logger import setup_logger
+from ppasr_tpu.utils.metrics import cer, wer
+
+logger = setup_logger(__name__)
+
+
+class PPASRTrainer:
+    def __init__(self, configs, use_gpu: bool = True,
+                 overwrites: str = None, data_augment_configs: str = None):
+        """``configs``: YAML path or dict; ``use_gpu`` kept for CLI parity
+        (device selection is JAX's)."""
+        self.configs = load_config(configs) if not isinstance(configs, dict) \
+            else dict_to_object(configs)
+        if overwrites:
+            for pair in overwrites.split(','):
+                key, value = pair.split('=')
+                self._overwrite(key.strip(), value.strip())
+        self.use_model = self.configs.use_model
+        self.streaming = bool(self.configs.get('streaming', True))
+        self.feature_method = self.configs.preprocess_conf.get(
+            'feature_method', 'fbank')
+        self.augment_conf_path = data_augment_configs
+        self.model_dir_name = (f"{self.use_model}"
+                               f"{'_streaming' if self.streaming else ''}"
+                               f"_{self.feature_method}")
+        self.stop_train = False
+        self.stop_eval = False
+
+    def _overwrite(self, dotted_key, value):
+        node = self.configs
+        keys = dotted_key.split('.')
+        for k in keys[:-1]:
+            node = node[k]
+        old = node.get(keys[-1])
+        if isinstance(old, bool):
+            value = value.lower() in ('true', '1')
+        elif isinstance(old, int):
+            value = int(value)
+        elif isinstance(old, float):
+            value = float(value)
+        node[keys[-1]] = value
+
+    # ------------------------------------------------------------- data prep
+
+    def create_data(self, annotation_path: str = 'dataset/annotation/',
+                    noise_dir: str = 'dataset/audio/noise',
+                    num_samples: int = 5000, count_threshold: int = 2,
+                    is_change_frame_rate: bool = True,
+                    max_test_manifest: int = 10000,
+                    only_keep_zh_en: bool = True):
+        """Manifests → vocab → CMVN (reference trainer.py:428-504)."""
+        dataset_conf = self.configs.dataset_conf
+        create_manifest(annotation_path,
+                        dataset_conf.train_manifest,
+                        dataset_conf.test_manifest,
+                        is_change_frame_rate=is_change_frame_rate,
+                        target_sr=self.configs.preprocess_conf.sample_rate,
+                        max_test_manifest=max_test_manifest,
+                        only_keep_zh_en=only_keep_zh_en)
+        if noise_dir and os.path.exists(noise_dir):
+            create_noise(noise_dir, dataset_conf.noise_manifest_path,
+                         target_sr=self.configs.preprocess_conf.sample_rate)
+        # vocab: <blank>, <unk>, chars (count ≥ threshold), <eos>
+        counter = Counter()
+        count_manifest(counter, dataset_conf.train_manifest)
+        tokens = [t for t, c in sorted(counter.items(),
+                                       key=lambda kv: (-kv[1], kv[0]))
+                  if c >= count_threshold]
+        os.makedirs(os.path.dirname(dataset_conf.dataset_vocab) or '.',
+                    exist_ok=True)
+        with open(dataset_conf.dataset_vocab, 'w', encoding='utf-8') as f:
+            f.write('<blank>\t-1\n<unk>\t-1\n')
+            for t in tokens:
+                f.write(f"{t}\t{counter[t]}\n")
+            f.write('<eos>\t-1\n')
+        logger.info(f"vocab size: {len(tokens) + 3}")
+        # CMVN
+        normalizer = FeatureNormalizer(dataset_conf.mean_istd_path)
+        manifest = read_manifest(dataset_conf.train_manifest)
+        normalizer.compute_mean_istd(dict(self.configs.preprocess_conf),
+                                     manifest, num_samples=num_samples)
+        if dataset_conf.get('manifest_type') == 'binary':
+            create_manifest_binary(dataset_conf.train_manifest,
+                                   dataset_conf.test_manifest)
+        logger.info("create_data done")
+
+    # ------------------------------------------------------------- builders
+
+    def _build_dataset(self, train: bool):
+        dataset_conf = self.configs.dataset_conf
+        aug_conf = load_augmentation_config(self.augment_conf_path) \
+            if (train and self.augment_conf_path) else None
+        manifest = dataset_conf.train_manifest if train \
+            else dataset_conf.test_manifest
+        # NOTE: CMVN is baked into the model (GlobalCMVN from
+        # mean_istd_path, as in reference conformer/model.py:40-47);
+        # the dataset yields raw features.
+        return ASRDataset(
+            manifest, dataset_conf.dataset_vocab,
+            mean_istd_filepath=None,
+            preprocess_conf=dict(self.configs.preprocess_conf),
+            min_duration=dataset_conf.get('min_duration', 0.5),
+            max_duration=dataset_conf.get('max_duration', 20) if train else -1,
+            manifest_type=dataset_conf.get('manifest_type', 'txt'),
+            augmentation_config=aug_conf, train=train)
+
+    def _build_model(self, input_dim, vocab_size, dtype=jnp.float32):
+        return build_model(self.use_model, input_dim, vocab_size,
+                           streaming=self.streaming,
+                           encoder_conf=dict(self.configs.get('encoder_conf',
+                                                              {}) or {}),
+                           decoder_conf=dict(self.configs.get('decoder_conf',
+                                                              {}) or {}),
+                           model_conf=dict(self.configs.get('model_conf',
+                                                            {}) or {}),
+                           mean_istd_path=self.configs.dataset_conf
+                           .mean_istd_path,
+                           dtype=dtype)
+
+    def _init_params(self, model, input_dim, seed=1000):
+        rng = jax.random.PRNGKey(seed)
+        speech = jnp.zeros((1, 64, input_dim), jnp.float32)
+        lens = jnp.asarray([64])
+        text = jnp.asarray([[1, 2, -1]], jnp.int32)
+        tlens = jnp.asarray([2])
+        return model.init({'params': rng, 'dropout': rng, 'chunk': rng},
+                          speech, lens, text, tlens, deterministic=False)
+
+    # ----------------------------------------------------------- checkpoints
+
+    def _save_dir(self, save_model_path):
+        return os.path.join(save_model_path, self.model_dir_name)
+
+    def _save_checkpoint(self, save_model_path, state: TrainState, epoch,
+                         error_rate=None, test_loss=None, best=False):
+        """model.msgpack + optimizer.msgpack + model.state JSON; rolling
+        delete + last_model copy (reference trainer.py:302-328)."""
+        base = self._save_dir(save_model_path)
+        name = 'best_model' if best else f'epoch_{epoch}'
+        path = os.path.join(base, name)
+        try:
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, 'model.msgpack'), 'wb') as f:
+                f.write(serialization.to_bytes(
+                    jax.device_get(state.params)))
+            with open(os.path.join(path, 'optimizer.msgpack'), 'wb') as f:
+                f.write(serialization.to_bytes(
+                    jax.device_get(state.opt_state)))
+            metric_key = 'test_cer' if self.configs.get(
+                'metrics_type', 'cer') == 'cer' else 'test_wer'
+            with open(os.path.join(path, 'model.state'), 'w',
+                      encoding='utf-8') as f:
+                json.dump({'last_epoch': epoch,
+                           metric_key: error_rate,
+                           'test_loss': test_loss,
+                           'step': int(state.step)}, f)
+            if not best:
+                last = os.path.join(base, 'last_model')
+                shutil.rmtree(last, ignore_errors=True)
+                shutil.copytree(path, last)
+                old = os.path.join(base, f'epoch_{epoch - 3}')
+                shutil.rmtree(old, ignore_errors=True)
+        except Exception as e:
+            logger.error(f"checkpoint save failed: {e}")
+
+    def _load_checkpoint(self, save_model_path, state: TrainState):
+        """Auto-resume from last_model (reference trainer.py:277-299)."""
+        last = os.path.join(self._save_dir(save_model_path), 'last_model')
+        model_path = os.path.join(last, 'model.msgpack')
+        if not os.path.exists(model_path):
+            return state, 0
+        with open(model_path, 'rb') as f:
+            params = serialization.from_bytes(state.params, f.read())
+        opt_path = os.path.join(last, 'optimizer.msgpack')
+        opt_state = state.opt_state
+        if os.path.exists(opt_path):
+            with open(opt_path, 'rb') as f:
+                opt_state = serialization.from_bytes(state.opt_state,
+                                                     f.read())
+        last_epoch, step = 0, 0
+        state_path = os.path.join(last, 'model.state')
+        if os.path.exists(state_path):
+            with open(state_path, 'r', encoding='utf-8') as f:
+                meta = json.load(f)
+            last_epoch = meta.get('last_epoch', 0)
+            step = meta.get('step', 0)
+        logger.info(f"resumed from {last} (epoch {last_epoch})")
+        return TrainState(step=jnp.asarray(step, jnp.int32), params=params,
+                          opt_state=opt_state), last_epoch
+
+    def _load_pretrained(self, pretrained_model, params):
+        """Shape-filtered partial load (reference trainer.py:257-275)."""
+        if not pretrained_model:
+            return params
+        path = pretrained_model
+        if os.path.isdir(path):
+            path = os.path.join(path, 'model.msgpack')
+        if not os.path.exists(path):
+            logger.warning(f"pretrained model missing: {path}")
+            return params
+        with open(path, 'rb') as f:
+            loaded = serialization.from_bytes(params, f.read())
+        flat_cur = jax.tree_util.tree_leaves_with_path(params)
+        flat_new = dict(jax.tree_util.tree_leaves_with_path(loaded))
+        merged = []
+        kept, skipped = 0, 0
+        for keypath, cur in flat_cur:
+            new = flat_new.get(keypath)
+            if new is not None and new.shape == cur.shape:
+                merged.append(new)
+                kept += 1
+            else:
+                merged.append(cur)
+                skipped += 1
+        logger.info(f"pretrained load: {kept} kept, {skipped} skipped")
+        treedef = jax.tree_util.tree_structure(params)
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    # ----------------------------------------------------------------- train
+
+    def train(self, save_model_path: str = 'models/',
+              log_dir: str = 'log/', max_epoch: int = None,
+              resume_model: str = None, pretrained_model: str = None):
+        train_conf = self.configs.train_conf
+        dataset_conf = self.configs.dataset_conf
+        accum_grad = int(train_conf.get('accum_grad', 1))
+        batch_size = int(dataset_conf.get('batch_size', 16))
+        max_epoch = max_epoch or int(train_conf.get('max_epoch', 200))
+        log_interval = int(train_conf.get('log_interval', 100))
+
+        train_dataset = self._build_dataset(train=True)
+        test_dataset = self._build_dataset(train=False)
+        vocab_size = train_dataset.vocab_size
+        input_dim = train_dataset.feature_dim
+
+        mesh = data_mesh()
+        nranks = mesh.devices.size
+        sampler = SortagradBatchSampler(
+            len(train_dataset), batch_size * accum_grad, drop_last=True)
+        loader = DataLoader(train_dataset, sampler,
+                            num_workers=int(dataset_conf.get('num_workers',
+                                                             4)),
+                            time_bucket=64, label_bucket=16)
+
+        model = self._build_model(input_dim, vocab_size)
+        params = self._init_params(model, input_dim)
+        params = self._load_pretrained(pretrained_model, params)
+        tx, schedule = build_optimizer(
+            dict(self.configs.get('optimizer_conf', {}) or {}),
+            grad_clip=float(train_conf.get('grad_clip', 5.0)))
+        state = create_train_state(params, tx)
+        state, last_epoch = self._load_checkpoint(
+            resume_model or save_model_path, state)
+        state = replicate(mesh, state)
+
+        train_step = jax.jit(make_train_step(model, tx, accum_grad),
+                             donate_argnums=0)
+        rng = jax.random.PRNGKey(1000)
+
+        writer = None
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+        best_error = float('inf')
+        train_times = []
+        for epoch in range(last_epoch, max_epoch):
+            sampler.set_epoch(epoch)
+            epoch_start = time.time()
+            batch_start = time.time()
+            for batch_id, (inputs, labels, in_lens, lab_lens) in \
+                    enumerate(loader):
+                reader_cost = time.time() - batch_start
+                n = inputs.shape[0]
+                micro = n // accum_grad
+                if micro == 0:
+                    continue
+                usable = micro * accum_grad
+                batch = {
+                    'speech': inputs[:usable].reshape(
+                        accum_grad, micro, *inputs.shape[1:]),
+                    'speech_lens': in_lens[:usable].reshape(accum_grad,
+                                                            micro),
+                    'text': labels[:usable].reshape(accum_grad, micro,
+                                                    -1),
+                    'text_lens': lab_lens[:usable].reshape(accum_grad,
+                                                           micro),
+                }
+                batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch),
+                                    batch_axis=1)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, batch, step_rng)
+                batch_cost = time.time() - batch_start
+                train_times.append(batch_cost)
+
+                if batch_id % log_interval == 0:
+                    loss = float(metrics['loss'])
+                    lr = float(schedule(int(state.step)))
+                    # ips in audio-seconds/sec (frames are 10 ms)
+                    audio_sec = float(np.sum(in_lens[:usable])) / 100.0
+                    ips = audio_sec / max(batch_cost, 1e-9)
+                    eta = timedelta(seconds=int(
+                        np.mean(train_times)
+                        * (len(loader) - batch_id)
+                        * (max_epoch - epoch)))
+                    logger.info(
+                        f"epoch {epoch} batch {batch_id}/{len(loader)} "
+                        f"loss {loss:.4f} lr {lr:.8f} "
+                        f"reader_cost {reader_cost:.3f}s "
+                        f"batch_cost {batch_cost:.3f}s "
+                        f"ips {ips:.2f} audio-s/s eta {eta}")
+                    if writer:
+                        writer.add_scalar('Train/Loss', loss,
+                                          int(state.step))
+                        writer.add_scalar('Train/lr', lr, int(state.step))
+                    train_times = []
+                if self.stop_train:
+                    break
+                batch_start = time.time()
+
+            logger.info(f"epoch {epoch} done in "
+                        f"{timedelta(seconds=int(time.time()-epoch_start))}")
+            error_rate, test_loss = self.evaluate(
+                resume_model=None, state=state, model=model,
+                test_dataset=test_dataset)
+            metric_name = self.configs.get('metrics_type', 'cer')
+            logger.info(f"epoch {epoch} test {metric_name}={error_rate:.5f} "
+                        f"loss={test_loss:.5f}")
+            if writer:
+                writer.add_scalar(f'Test/{metric_name}', error_rate,
+                                  int(state.step))
+                writer.add_scalar('Test/Loss', test_loss, int(state.step))
+            self._save_checkpoint(save_model_path, jax.device_get(state),
+                                  epoch + 1, error_rate, test_loss)
+            if error_rate < best_error:
+                best_error = error_rate
+                self._save_checkpoint(save_model_path,
+                                      jax.device_get(state), epoch + 1,
+                                      error_rate, test_loss, best=True)
+            if self.stop_train:
+                break
+        return state
+
+    def _build_eval_decoder(self, vocab):
+        """ctc_beam_search with graceful greedy fallback (reference
+        trainer.py:330-352)."""
+        if self.configs.get('decoder', 'ctc_greedy') != 'ctc_beam_search':
+            return None
+        try:
+            from ppasr_tpu.decoders.beam_search import BeamSearchDecoder
+            conf = dict(self.configs.get('ctc_beam_search_decoder_conf', {})
+                        or {})
+            return BeamSearchDecoder(vocab_list=vocab, **conf)
+        except Exception as e:
+            logger.warning(f"beam search unavailable ({e}); using greedy")
+            return None
+
+    # -------------------------------------------------------------- evaluate
+
+    def evaluate(self, resume_model: str = 'models/', state=None, model=None,
+                 test_dataset=None, display_result: bool = False,
+                 max_batches: int = None):
+        """Greedy-decode the test set and compute cer/wer
+        (reference trainer.py:592-645). Returns (error_rate, loss)."""
+        dataset_conf = self.configs.dataset_conf
+        if test_dataset is None:
+            test_dataset = self._build_dataset(train=False)
+        vocab = test_dataset.vocab_list
+        if model is None:
+            model = self._build_model(test_dataset.feature_dim,
+                                      test_dataset.vocab_size)
+        if state is None:
+            params = self._init_params(model, test_dataset.feature_dim)
+            tx, _ = build_optimizer(
+                dict(self.configs.get('optimizer_conf', {}) or {}))
+            state = create_train_state(params, tx)
+            state, _ = self._load_checkpoint(resume_model, state)
+        params = state.params
+
+        batch_size = int(dataset_conf.get('batch_size', 16))
+        sampler = SortagradBatchSampler(len(test_dataset), batch_size,
+                                        drop_last=False, shuffle=False)
+        loader = DataLoader(test_dataset, sampler, num_workers=2,
+                            shuffle_in_batch=False)
+
+        eval_fn = jax.jit(lambda p, s, l: model.apply(
+            p, s, l, method='get_encoder_out'))
+        loss_fn = jax.jit(lambda p, s, l, t, tl: model.apply(
+            p, s, l, t, tl, deterministic=True)['loss'])
+
+        metrics_type = self.configs.get('metrics_type', 'cer')
+        error_fn = cer if metrics_type == 'cer' else wer
+        decoder = self._build_eval_decoder(vocab)
+        errors, losses = [], []
+        for i, (inputs, labels, in_lens, lab_lens) in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            probs, olens = eval_fn(params, jnp.asarray(inputs),
+                                   jnp.asarray(in_lens))
+            losses.append(float(loss_fn(params, jnp.asarray(inputs),
+                                        jnp.asarray(in_lens),
+                                        jnp.asarray(labels),
+                                        jnp.asarray(lab_lens))))
+            if decoder is not None:
+                results = decoder.decode_batch(np.asarray(probs),
+                                               np.asarray(olens))
+            else:
+                results = greedy_decoder_batch(np.asarray(probs),
+                                               np.asarray(olens), vocab)
+            for b, (score, text) in enumerate(results):
+                target = labels_to_string(labels[b][:int(lab_lens[b])],
+                                          vocab)
+                e = error_fn(text, target)
+                errors.append(e)
+                if display_result:
+                    logger.info(f"ref: {target} | hyp: {text} | "
+                                f"{metrics_type}: {e:.4f}")
+            if self.stop_eval:
+                break
+        error_rate = float(np.mean(errors)) if errors else float('inf')
+        test_loss = float(np.mean(losses)) if losses else float('inf')
+        return error_rate, test_loss
+
+    # ---------------------------------------------------------------- export
+
+    def export(self, save_model_path: str = 'models/',
+               resume_model: str = None):
+        """Write the inference artifact: params + inference config JSON
+        (reference trainer.py:647-694; jit replaces static graphs)."""
+        test_dataset = self._build_dataset(train=False)
+        model = self._build_model(test_dataset.feature_dim,
+                                  test_dataset.vocab_size)
+        params = self._init_params(model, test_dataset.feature_dim)
+        tx, _ = build_optimizer(
+            dict(self.configs.get('optimizer_conf', {}) or {}))
+        state = create_train_state(params, tx)
+        state, _ = self._load_checkpoint(resume_model or save_model_path,
+                                         state)
+        infer_dir = os.path.join(self._save_dir(save_model_path), 'infer')
+        os.makedirs(infer_dir, exist_ok=True)
+        with open(os.path.join(infer_dir, 'model.msgpack'), 'wb') as f:
+            f.write(serialization.to_bytes(jax.device_get(state.params)))
+        with open(os.path.join(infer_dir, 'inference.json'), 'w',
+                  encoding='utf-8') as f:
+            json.dump({'use_model': self.use_model,
+                       'streaming': self.streaming,
+                       'input_dim': test_dataset.feature_dim,
+                       'vocab_size': test_dataset.vocab_size,
+                       'encoder_conf': dict(self.configs.get('encoder_conf',
+                                                             {}) or {}),
+                       'decoder_conf': dict(self.configs.get('decoder_conf',
+                                                             {}) or {}),
+                       'model_conf': dict(self.configs.get('model_conf', {})
+                                          or {})}, f, indent=2)
+        logger.info(f"exported inference artifact to {infer_dir}")
+        return infer_dir
