@@ -75,15 +75,22 @@ class ASRDataset:
 
     def __getitem__(self, idx: int):
         instance = self.entry(idx)
-        if 'start_time' in instance:
-            audio = AudioSegment.slice_from_file(instance['audio_filepath'],
-                                                 start=instance['start_time'],
-                                                 end=instance['end_time'])
+        path = instance['audio_filepath']
+        if path.endswith('.npy'):
+            # precomputed pooled feature file with frame-slice bounds
+            # (reference reader.py:52-60 / trainer extract_features)
+            feature = np.load(path)[instance['start_frame']:
+                                    instance['end_frame'], :]
         else:
-            audio = AudioSegment.from_file(instance['audio_filepath'])
-        if self.augmentation is not None:
-            self.augmentation.transform_audio(audio)
-        feature = self.audio_featurizer.featurize(audio)
+            if 'start_time' in instance:
+                audio = AudioSegment.slice_from_file(
+                    path, start=instance['start_time'],
+                    end=instance['end_time'])
+            else:
+                audio = AudioSegment.from_file(path)
+            if self.augmentation is not None:
+                self.augmentation.transform_audio(audio)
+            feature = self.audio_featurizer.featurize(audio)
         if self.normalizer is not None and self.normalizer.mean is not None:
             feature = self.normalizer.apply(feature)
         if self.augmentation is not None:

@@ -165,6 +165,69 @@ def create_manifest_binary(train_manifest_path: str, test_manifest_path: str):
         dataset_writer.close()
 
 
+def merge_audio(annotation_path: str, save_audio_path: str,
+                max_duration: float = 600.0, target_sr: int = 16000):
+    """Pack short wavs into ≤max_duration-second files; entries carry
+    start_time/end_time into the packed file (reference utils.py:148-204).
+    Rewrites each annotation list with a .merged suffix."""
+    os.makedirs(save_audio_path, exist_ok=True)
+    for annotation_file in sorted(os.listdir(annotation_path)):
+        if not annotation_file.endswith('.txt'):
+            continue
+        in_path = os.path.join(annotation_path, annotation_file)
+        out_path = in_path + '.merged.jsonl'
+        merged_samples = []
+        merged_duration = 0.0
+        file_idx = 0
+        entries = []
+
+        def flush():
+            nonlocal merged_samples, merged_duration, file_idx
+            if not merged_samples:
+                return None
+            out_wav = os.path.join(
+                save_audio_path,
+                f"{os.path.splitext(annotation_file)[0]}_{file_idx}.wav")
+            seg = AudioSegment(np.concatenate(merged_samples), target_sr)
+            seg.to_wav_file(out_wav)
+            merged_samples = []
+            merged_duration = 0.0
+            file_idx += 1
+            return out_wav
+
+        pending = []
+        with open(in_path, 'r', encoding='utf-8') as f:
+            for line in f:
+                parts = line.strip().split('\t')
+                if len(parts) != 2 or not os.path.exists(parts[0]):
+                    continue
+                audio = AudioSegment.from_file(parts[0])
+                if audio.sample_rate != target_sr:
+                    audio.resample(target_sr)
+                start = merged_duration
+                merged_samples.append(audio.samples)
+                merged_duration += audio.duration
+                pending.append({'start_time': round(start, 3),
+                                'end_time': round(merged_duration, 3),
+                                'text': parts[1],
+                                'duration': round(audio.duration, 3)})
+                if merged_duration >= max_duration:
+                    out_wav = flush()
+                    for e in pending:
+                        e['audio_filepath'] = out_wav
+                        entries.append(e)
+                    pending = []
+        out_wav = flush()
+        for e in pending:
+            e['audio_filepath'] = out_wav
+            entries.append(e)
+        with open(out_path, 'w', encoding='utf-8') as f:
+            for e in entries:
+                f.write(json.dumps(e, ensure_ascii=False) + '\n')
+        logger.info(f"merged {len(entries)} utterances from "
+                    f"{annotation_file} → {out_path}")
+
+
 def buf_to_float(buf: bytes, n_bytes: int = 2) -> np.ndarray:
     """PCM byte buffer → float32 [-1, 1] (reference utils.py:381-407)."""
     scale = 1.0 / float(1 << ((8 * n_bytes) - 1))

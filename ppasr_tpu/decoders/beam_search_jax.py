@@ -1,0 +1,365 @@
+"""Vectorized on-device CTC prefix beam search (XLA, no host loops).
+
+Replaces the reference's C++ host decoder (swig_wrapper.py) on the hot path
+(SURVEY.md §2.3 item 1): the whole search runs as one ``lax.scan`` over time
+with the batch and beam axes vectorized — batch decode needs zero host↔device
+round-trips, and the streaming state (prefixes, beam scores) is a pytree that
+stays in device memory between chunks.
+
+Algorithm per step (beam K, candidate top-N):
+  1. top-N token candidates per frame (+ cumulative-prob cutoff mask);
+  2. K "stay" candidates (same prefix: blank path + repeat-last path) and
+     K·N "extend" candidates (prefix + c, with CTC's repeat/blank rules);
+  3. prefixes are identified by a 32-bit rolling hash; the pooled candidates
+     are sorted by hash and equal-hash entries merged with a segment
+     logsumexp (order-independent dedup — SURVEY.md §7.3);
+  4. top-K by total probability re-forms the beam; prefix token storage is
+     gathered alongside.
+
+Optional LM shallow fusion: dense char-level log10 unigram/bigram tables
+(device arrays) with KenLM-style alpha/beta weights.
+
+Scores match the host oracle (ppasr_tpu/decoders/beam_search.py) exactly up
+to float32 on the same pruning config; hash collisions are the one
+theoretical deviation (32-bit, ~K·N candidates per step — negligible).
+"""
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+HASH_PRIME = jnp.uint32(1000003)
+
+
+class BeamState(NamedTuple):
+    """Device-resident beam state for one utterance (leading axis = beam)."""
+    prefixes: jnp.ndarray   # [K, U_max] int32
+    lengths: jnp.ndarray    # [K] int32
+    last: jnp.ndarray       # [K] int32, -1 = empty prefix
+    hashes: jnp.ndarray     # [K] uint32
+    p_b: jnp.ndarray        # [K] f32 log prob ending in blank
+    p_nb: jnp.ndarray       # [K] f32 log prob ending in non-blank
+
+
+def init_beam_state(beam_size: int, max_len: int) -> BeamState:
+    k = beam_size
+    return BeamState(
+        prefixes=jnp.zeros((k, max_len), jnp.int32),
+        lengths=jnp.zeros((k,), jnp.int32),
+        last=jnp.full((k,), -1, jnp.int32),
+        hashes=jnp.zeros((k,), jnp.uint32),
+        p_b=jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                             jnp.full((k - 1,), NEG_INF, jnp.float32)]),
+        p_nb=jnp.full((k,), NEG_INF, jnp.float32))
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    safe = jnp.where(m > NEG_INF / 2, m, 0.0)
+    out = safe + jnp.log(jnp.exp(a - safe) + jnp.exp(b - safe))
+    return jnp.where(m > NEG_INF / 2, out, NEG_INF)
+
+
+def _beam_step(state: BeamState, log_row, row, blank, top_n, beam_size,
+               cutoff_prob, lm_bigram, lm_unigram, alpha, beta):
+    """One time step for one utterance."""
+    k = beam_size
+    u_max = state.prefixes.shape[1]
+
+    # --- candidate tokens (top-N + cumulative cutoff), blank excluded
+    probs_no_blank = row.at[blank].set(0.0)
+    cand_p, cand = jax.lax.top_k(probs_no_blank, top_n)   # [N]
+    keep = jnp.cumsum(cand_p) - cand_p < cutoff_prob
+    cand_lp = jnp.where(keep, jnp.log(jnp.maximum(cand_p, 1e-30)), NEG_INF)
+
+    lp_blank = jnp.log(jnp.maximum(row[blank], 1e-30))
+    p_tot = _logaddexp(state.p_b, state.p_nb)             # [K]
+
+    # --- LM bonus for extending with candidate c given last char
+    if lm_bigram is not None or lm_unigram is not None:
+        ln10 = math.log(10.0)
+        if lm_bigram is not None:
+            ctx = jnp.where(state.last < 0, 0, state.last)
+            big = lm_bigram[ctx][:, cand]                  # [K, N]
+            uni = lm_unigram[cand][None, :]
+            lm = jnp.where((state.last < 0)[:, None], uni, big)
+        else:
+            lm = lm_unigram[cand][None, :]
+        bonus = alpha * lm * ln10 + beta * ln10            # [K, N]
+    else:
+        bonus = jnp.zeros((k, top_n), jnp.float32)
+
+    # --- stay candidates: same prefix
+    # blank path always; repeat path only when last is a valid candidate
+    lp_last = jnp.where(
+        state.last >= 0,
+        jnp.max(jnp.where(cand[None, :] == state.last[:, None],
+                          cand_lp[None, :], NEG_INF), axis=1),
+        NEG_INF)                                           # [K]
+    stay_p_b = p_tot + lp_blank
+    stay_p_nb = state.p_nb + lp_last
+
+    # --- extend candidates: prefix + c for each candidate
+    is_repeat = cand[None, :] == state.last[:, None]       # [K, N]
+    src = jnp.where(is_repeat, state.p_b[:, None], p_tot[:, None])
+    ext_p_nb = src + cand_lp[None, :] + bonus              # [K, N]
+    ext_hash = state.hashes[:, None] * HASH_PRIME \
+        + (cand[None, :] + 1).astype(jnp.uint32)           # [K, N]
+
+    # --- pool: K stay + K*N extend
+    pool_hash = jnp.concatenate([state.hashes, ext_hash.reshape(-1)])
+    pool_p_b = jnp.concatenate([stay_p_b,
+                                jnp.full((k * top_n,), NEG_INF)])
+    pool_p_nb = jnp.concatenate([stay_p_nb, ext_p_nb.reshape(-1)])
+    # provenance for gathering prefix storage after top-K
+    pool_src_beam = jnp.concatenate([
+        jnp.arange(k, dtype=jnp.int32),
+        jnp.repeat(jnp.arange(k, dtype=jnp.int32), top_n)])
+    pool_ext_char = jnp.concatenate([
+        jnp.full((k,), -1, jnp.int32),
+        jnp.tile(cand.astype(jnp.int32), (k,))])
+    # dead-beam / pruned-candidate guard
+    alive = jnp.concatenate([
+        p_tot > NEG_INF / 2,
+        ((p_tot[:, None] > NEG_INF / 2)
+         & (cand_lp[None, :] > NEG_INF / 2)).reshape(-1)])
+    pool_p_b = jnp.where(alive, pool_p_b, NEG_INF)
+    pool_p_nb = jnp.where(alive, pool_p_nb, NEG_INF)
+    # kill hash so dead entries can't merge with real ones
+    pool_hash = jnp.where(alive, pool_hash, jnp.uint32(0xFFFFFFFF))
+
+    m = pool_hash.shape[0]
+    # --- merge equal prefixes: sort by hash, segment logsumexp
+    order = jnp.argsort(pool_hash)
+    s_hash = pool_hash[order]
+    s_p_b = pool_p_b[order]
+    s_p_nb = pool_p_nb[order]
+    new_seg = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                               (s_hash[1:] != s_hash[:-1]).astype(jnp.int32)])
+    seg_id = jnp.cumsum(new_seg) - 1                       # [M]
+
+    def seg_logsumexp(vals):
+        seg_max = jax.ops.segment_max(vals, seg_id, num_segments=m)
+        seg_max = jnp.where(seg_max > NEG_INF / 2, seg_max, 0.0)
+        sums = jax.ops.segment_sum(jnp.exp(vals - seg_max[seg_id]), seg_id,
+                                   num_segments=m)
+        out = seg_max + jnp.log(jnp.maximum(sums, 1e-38))
+        return jnp.where(sums > 0, out, NEG_INF)
+
+    merged_p_b = seg_logsumexp(s_p_b)[seg_id]
+    merged_p_nb = seg_logsumexp(s_p_nb)[seg_id]
+    first_of_seg = new_seg.astype(bool)
+    merged_p_b = jnp.where(first_of_seg, merged_p_b, NEG_INF)
+    merged_p_nb = jnp.where(first_of_seg, merged_p_nb, NEG_INF)
+
+    merged_tot = _logaddexp(merged_p_b, merged_p_nb)
+    top_vals, top_idx = jax.lax.top_k(merged_tot, k)
+    sel = order[top_idx]                                   # pool indices
+
+    sel_src = pool_src_beam[sel]
+    sel_char = pool_ext_char[sel]
+    sel_is_ext = sel_char >= 0
+
+    new_prefixes = state.prefixes[sel_src]
+    ins_pos = jnp.clip(state.lengths[sel_src], 0, u_max - 1)
+    ext_prefixes = jax.vmap(
+        lambda row_, pos_, ch_: row_.at[pos_].set(ch_))(
+        new_prefixes, ins_pos, jnp.where(sel_is_ext, sel_char, 0))
+    new_prefixes = jnp.where(sel_is_ext[:, None], ext_prefixes, new_prefixes)
+    new_lengths = state.lengths[sel_src] + sel_is_ext.astype(jnp.int32)
+    new_last = jnp.where(sel_is_ext, sel_char, state.last[sel_src])
+    new_hashes = pool_hash[sel]
+    dead = top_vals <= NEG_INF / 2
+    new_state = BeamState(
+        prefixes=new_prefixes,
+        lengths=jnp.where(dead, 0, new_lengths),
+        last=jnp.where(dead, -1, new_last),
+        hashes=new_hashes,
+        p_b=merged_p_b[top_idx],
+        p_nb=merged_p_nb[top_idx])
+    return new_state
+
+
+@partial(jax.jit, static_argnames=('blank', 'beam_size', 'cutoff_top_n',
+                                   'max_prefix_len'))
+def beam_search_step_batch(states: BeamState, probs_t: jnp.ndarray,
+                           active: jnp.ndarray, blank: int = 0,
+                           beam_size: int = 10, cutoff_top_n: int = 40,
+                           cutoff_prob: float = 0.99,
+                           lm_bigram=None, lm_unigram=None,
+                           alpha: float = 2.2, beta: float = 4.3,
+                           max_prefix_len: int = 0):
+    """One decode step over the whole batch.
+    probs_t: [B, V]; active: [B] bool (frame < utterance length)."""
+    log_row = jnp.log(jnp.maximum(probs_t, 1e-30))
+
+    def one(state, row, lrow, act):
+        new = _beam_step(state, lrow, row, blank, cutoff_top_n,
+                         beam_size, cutoff_prob, lm_bigram, lm_unigram,
+                         alpha, beta)
+        return jax.tree.map(lambda n, o: jnp.where(
+            jnp.reshape(act, (1,) * n.ndim), n, o), new, state)
+
+    return jax.vmap(one)(states, probs_t, log_row, active)
+
+
+def ctc_beam_search_jax(probs: jnp.ndarray, lens: jnp.ndarray,
+                        blank: int = 0, beam_size: int = 10,
+                        cutoff_top_n: int = 40, cutoff_prob: float = 0.99,
+                        lm_bigram=None, lm_unigram=None,
+                        alpha: float = 2.2, beta: float = 4.3,
+                        max_prefix_len: Optional[int] = None):
+    """Batch offline decode: [B, T, V] probs + [B] lens → BeamState batch.
+
+    The scan runs fully on device; convert with ``beam_state_to_results``."""
+    bsz, t_max, _ = probs.shape
+    if max_prefix_len is None:
+        max_prefix_len = t_max
+    init = jax.vmap(lambda _: init_beam_state(beam_size, max_prefix_len))(
+        jnp.arange(bsz))
+
+    def step(states, inp):
+        probs_t, t = inp
+        active = t < lens
+        new = beam_search_step_batch(
+            states, probs_t, active, blank=blank, beam_size=beam_size,
+            cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob,
+            lm_bigram=lm_bigram, lm_unigram=lm_unigram,
+            alpha=alpha, beta=beta, max_prefix_len=max_prefix_len)
+        return new, None
+
+    final, _ = jax.lax.scan(
+        step, init, (jnp.transpose(probs, (1, 0, 2)),
+                     jnp.arange(t_max, dtype=jnp.int32)))
+    return final
+
+
+def beam_state_to_results(states: BeamState, vocab_list):
+    """BeamState batch → list of (score, text) best-first (host side)."""
+    p_tot = np.asarray(_logaddexp(states.p_b, states.p_nb))
+    prefixes = np.asarray(states.prefixes)
+    lengths = np.asarray(states.lengths)
+    out = []
+    for b in range(p_tot.shape[0]):
+        best = int(np.argmax(p_tot[b]))
+        ids = prefixes[b, best, :lengths[b, best]]
+        text = ''.join(vocab_list[i] for i in ids)
+        out.append((float(p_tot[b, best]), text))
+    return out
+
+
+class JaxBeamSearchDecoder:
+    """Drop-in decoder with the BeamSearchDecoder surface, running the search
+    on device. Streaming keeps BeamState in device memory across chunks."""
+
+    def __init__(self, vocab_list, alpha: float = 2.2, beta: float = 4.3,
+                 beam_size: int = 10, cutoff_prob: float = 0.99,
+                 cutoff_top_n: int = 40, blank_index: int = 0,
+                 language_model_path: str = None,
+                 max_prefix_len: int = 512, **_):
+        self.vocab_list = list(vocab_list)
+        self.alpha = alpha
+        self.beta = beta
+        self.beam_size = beam_size
+        self.cutoff_prob = cutoff_prob
+        self.cutoff_top_n = min(cutoff_top_n, len(vocab_list))
+        self.blank_index = blank_index
+        self.max_prefix_len = max_prefix_len
+        self.lm_unigram = None
+        self.lm_bigram = None
+        if language_model_path:
+            import os
+            if os.path.exists(language_model_path):
+                self._load_lm(language_model_path)
+        self.reset()
+
+    def _load_lm(self, path):
+        from ppasr_tpu.decoders.lm import NgramScorer
+        scorer = NgramScorer(path, self.vocab_list)
+        v = len(self.vocab_list)
+        uni = np.full((v,), -6.0, np.float32)
+        for i, tok in enumerate(self.vocab_list):
+            e = scorer.tables.get(1, {}).get((tok,))
+            if e is not None:
+                uni[i] = e[0]
+        self.lm_unigram = jnp.asarray(uni)
+        if 2 in scorer.tables:
+            big = np.tile(uni[None, :], (v, 1))  # backoff to unigram
+            backoff = np.zeros((v,), np.float32)
+            tok_to_id = {t: i for i, t in enumerate(self.vocab_list)}
+            for i, tok in enumerate(self.vocab_list):
+                e = scorer.tables.get(1, {}).get((tok,))
+                if e is not None:
+                    backoff[i] = e[1]
+            big += backoff[:, None]
+            for (a, b), (logp, _bo) in scorer.tables[2].items():
+                ia, ib = tok_to_id.get(a), tok_to_id.get(b)
+                if ia is not None and ib is not None:
+                    big[ia, ib] = logp
+            self.lm_bigram = jnp.asarray(big)
+
+    # ------------------------------------------------------------- offline
+
+    def decode_batch(self, probs_batch, lens):
+        probs = jnp.asarray(np.asarray(probs_batch), jnp.float32)
+        final = ctc_beam_search_jax(
+            probs, jnp.asarray(np.asarray(lens), jnp.int32),
+            blank=self.blank_index, beam_size=self.beam_size,
+            cutoff_top_n=self.cutoff_top_n, cutoff_prob=self.cutoff_prob,
+            lm_bigram=self.lm_bigram, lm_unigram=self.lm_unigram,
+            alpha=self.alpha, beta=self.beta,
+            max_prefix_len=self.max_prefix_len)
+        return beam_state_to_results(final, self.vocab_list)
+
+    def decode(self, probs):
+        probs = np.asarray(probs)
+        return self.decode_batch(probs[None], [probs.shape[0]])[0]
+
+    # ------------------------------------------------------------ streaming
+
+    def reset(self):
+        self._state = None
+
+    def decode_chunk(self, chunk_probs):
+        probs = np.asarray(chunk_probs, np.float32)
+        if probs.size:
+            if self._state is None:
+                self._state = jax.vmap(
+                    lambda _: init_beam_state(self.beam_size,
+                                              self.max_prefix_len))(
+                    jnp.arange(1))
+            final = ctc_beam_search_jax_continue(
+                self._state, jnp.asarray(probs[None]),
+                jnp.asarray([probs.shape[0]], jnp.int32),
+                blank=self.blank_index, beam_size=self.beam_size,
+                cutoff_top_n=self.cutoff_top_n,
+                cutoff_prob=self.cutoff_prob,
+                lm_bigram=self.lm_bigram, lm_unigram=self.lm_unigram,
+                alpha=self.alpha, beta=self.beta,
+                max_prefix_len=self.max_prefix_len)
+            self._state = final
+        return self.current()
+
+    def current(self):
+        if self._state is None:
+            return 0.0, ''
+        return beam_state_to_results(self._state, self.vocab_list)[0]
+
+
+def ctc_beam_search_jax_continue(states: BeamState, probs, lens, **kwargs):
+    """Continue decoding from an existing BeamState (streaming)."""
+    t_max = probs.shape[1]
+
+    def step(st, inp):
+        probs_t, t = inp
+        active = t < lens
+        return beam_search_step_batch(st, probs_t, active, **kwargs), None
+
+    final, _ = jax.lax.scan(
+        step, states, (jnp.transpose(probs, (1, 0, 2)),
+                       jnp.arange(t_max, dtype=jnp.int32)))
+    return final

@@ -29,6 +29,11 @@ class MultiHeadedAttention(nn.Module):
     n_feat: int
     dropout_rate: float = 0.0
     rel_pos: bool = False
+    # Squeezeformer adaptive scale (reference squeezeformer/attention.py:
+    # 33-37,120-123): learned per-feature scale/bias on q/k/v inputs; the
+    # squeezeformer variant's linear_pos also carries a bias.
+    adaptive_scale: bool = False
+    pos_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -41,13 +46,19 @@ class MultiHeadedAttention(nn.Module):
         self.linear_out = nn.Dense(self.n_feat, **d)
         self.dropout = nn.Dropout(self.dropout_rate)
         if self.rel_pos:
-            self.linear_pos = nn.Dense(self.n_feat, use_bias=False, **d)
+            self.linear_pos = nn.Dense(self.n_feat, use_bias=self.pos_bias,
+                                       **d)
             self.pos_bias_u = self.param(
                 'pos_bias_u', nn.initializers.xavier_uniform(),
                 (self.n_head, self.d_k))
             self.pos_bias_v = self.param(
                 'pos_bias_v', nn.initializers.xavier_uniform(),
                 (self.n_head, self.d_k))
+        if self.adaptive_scale:
+            self.ada_scale = self.param('ada_scale', nn.initializers.ones,
+                                        (1, 1, self.n_feat))
+            self.ada_bias = self.param('ada_bias', nn.initializers.zeros,
+                                       (1, 1, self.n_feat))
 
     def _heads(self, x, proj):
         b, t, _ = x.shape
@@ -64,6 +75,12 @@ class MultiHeadedAttention(nn.Module):
             are appended after the cache along time.
         Returns: (output [B, T1, D], (k_all, v_all) each [B, C+T2, H, dk]).
         """
+        if self.adaptive_scale:
+            scale = self.ada_scale.astype(query.dtype)
+            bias = self.ada_bias.astype(query.dtype)
+            query = scale * query + bias
+            key = scale * key + bias
+            value = scale * value + bias
         q = self._heads(query, self.linear_q)   # [B, T1, H, dk]
         k = self._heads(key, self.linear_k)     # [B, T2, H, dk]
         v = self._heads(value, self.linear_v)

@@ -23,6 +23,9 @@ class ConvolutionModule(nn.Module):
     activation: callable = nn.swish
     norm: str = 'layer_norm'  # 'layer_norm' | 'batch_norm'
     causal: bool = False
+    # Squeezeformer adaptive scale on the module input (reference
+    # squeezeformer/convolution.py:26-105)
+    adaptive_scale: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -36,6 +39,12 @@ class ConvolutionModule(nn.Module):
           mask_pad: [B, 1, T] bool, True = valid (reference passes ~pad).
           cache: [B, lorder, C] raw-input left context (causal only).
         Returns: (y [B, T, C], new_cache [B, lorder, C])."""
+        if self.adaptive_scale:
+            scale = self.param('ada_scale', nn.initializers.ones,
+                               (1, 1, self.channels)).astype(x.dtype)
+            bias = self.param('ada_bias', nn.initializers.zeros,
+                              (1, 1, self.channels)).astype(x.dtype)
+            x = scale * x + bias
         if mask_pad is not None:
             x = jnp.where(mask_pad.transpose(0, 2, 1), x, 0.0)
 

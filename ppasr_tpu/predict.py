@@ -127,13 +127,22 @@ class PPASRPredictor:
 
     def _init_decoder(self):
         """Beam-search decoder with graceful greedy fallback (reference
-        predict.py:92-105)."""
+        predict.py:92-105). Backend 'jax' (default, on-device) or 'host'."""
         self._beam_decoder = None
         if self.decoder_name == 'ctc_beam_search':
+            conf = dict(self.decoder_configs)
+            backend = conf.pop('backend', 'jax')
             try:
-                from ppasr_tpu.decoders.beam_search import BeamSearchDecoder
-                self._beam_decoder = BeamSearchDecoder(
-                    vocab_list=self.vocab_list, **self.decoder_configs)
+                if backend == 'host':
+                    from ppasr_tpu.decoders.beam_search import \
+                        BeamSearchDecoder
+                    self._beam_decoder = BeamSearchDecoder(
+                        vocab_list=self.vocab_list, **conf)
+                else:
+                    from ppasr_tpu.decoders.beam_search_jax import \
+                        JaxBeamSearchDecoder
+                    self._beam_decoder = JaxBeamSearchDecoder(
+                        vocab_list=self.vocab_list, **conf)
             except Exception as e:
                 logger.warning(f"beam search unavailable ({e}); "
                                f"falling back to ctc_greedy")
@@ -331,6 +340,9 @@ class PPASRPredictor:
             out = np.asarray(probs[0, :int(olens[0])])
         else:
             valid_out = ((t - self.context) // self.subsampling) + 1
+            # efficient_conformer stride layers further reduce time
+            out_factor = getattr(self.model, 'output_factor', 1)
+            valid_out = (valid_out + out_factor - 1) // out_factor
             probs, self._state = self._chunk_fn(self.params, xs, self._state)
             out = np.asarray(probs[0][:valid_out])
         return out

@@ -127,6 +127,52 @@ class PPASRTrainer:
                                    dataset_conf.test_manifest)
         logger.info("create_data done")
 
+    def extract_features(self, save_dir: str = 'dataset/features'):
+        """Pre-compute features into pooled .npy files + manifest_features
+        lists (reference trainer.py:128-170): utterances are appended into
+        one array until ~600 s of audio, then flushed; entries carry
+        start_frame/end_frame slices."""
+        for data_list_file in [self.configs.dataset_conf.train_manifest,
+                               self.configs.dataset_conf.test_manifest]:
+            split = data_list_file.split('.')[-1]
+            out_dir = os.path.join(save_dir, split, str(int(time.time())))
+            os.makedirs(out_dir, exist_ok=True)
+            dataset = ASRDataset(
+                data_list_file, self.configs.dataset_conf.dataset_vocab,
+                preprocess_conf=dict(self.configs.preprocess_conf),
+                max_duration=-1, min_duration=0,
+                manifest_type=self.configs.dataset_conf.get('manifest_type',
+                                                            'txt'))
+            save_data_list = data_list_file.replace('manifest',
+                                                    'manifest_features')
+            pooled, time_sum, file_idx = None, 0.0, 0
+            save_path = os.path.join(out_dir, f'{file_idx}.npy')
+            with open(save_data_list, 'w', encoding='utf-8') as f:
+                for i in range(len(dataset)):
+                    feature, _ = dataset[i]
+                    entry = dataset.entry(i)
+                    time_sum += entry.get('duration', 0)
+                    if pooled is None:
+                        pooled = feature
+                    else:
+                        pooled = np.concatenate([pooled, feature], axis=0)
+                    f.write(json.dumps(
+                        {'audio_filepath': save_path.replace('\\', '/'),
+                         'duration': entry.get('duration', 0),
+                         'text': entry['text'],
+                         'start_frame': pooled.shape[0] - feature.shape[0],
+                         'end_frame': pooled.shape[0]},
+                        ensure_ascii=False) + '\n')
+                    if time_sum > 600:
+                        np.save(save_path, pooled)
+                        pooled, time_sum = None, 0.0
+                        file_idx += 1
+                        save_path = os.path.join(out_dir, f'{file_idx}.npy')
+                if pooled is not None:
+                    np.save(save_path, pooled)
+            logger.info(f"features for [{data_list_file}] written; new list: "
+                        f"[{save_data_list}]")
+
     # ------------------------------------------------------------- builders
 
     def _build_dataset(self, train: bool):
@@ -266,6 +312,11 @@ class PPASRTrainer:
               resume_model: str = None, pretrained_model: str = None):
         train_conf = self.configs.train_conf
         dataset_conf = self.configs.dataset_conf
+        # TPU f32 matmuls default to bfloat16; 'float32'/'highest' trades
+        # ~2-4× throughput for exact f32 (relevant for CER parity runs)
+        precision = train_conf.get('matmul_precision')
+        if precision:
+            jax.config.update('jax_default_matmul_precision', precision)
         accum_grad = int(train_conf.get('accum_grad', 1))
         batch_size = int(dataset_conf.get('batch_size', 16))
         max_epoch = max_epoch or int(train_conf.get('max_epoch', 200))
@@ -388,14 +439,19 @@ class PPASRTrainer:
 
     def _build_eval_decoder(self, vocab):
         """ctc_beam_search with graceful greedy fallback (reference
-        trainer.py:330-352)."""
+        trainer.py:330-352). Backend 'jax' (default) runs the search on
+        device; 'host' runs the numpy decoder (full n-gram backoff)."""
         if self.configs.get('decoder', 'ctc_greedy') != 'ctc_beam_search':
             return None
+        conf = dict(self.configs.get('ctc_beam_search_decoder_conf', {})
+                    or {})
+        backend = conf.pop('backend', 'jax')
         try:
-            from ppasr_tpu.decoders.beam_search import BeamSearchDecoder
-            conf = dict(self.configs.get('ctc_beam_search_decoder_conf', {})
-                        or {})
-            return BeamSearchDecoder(vocab_list=vocab, **conf)
+            if backend == 'host':
+                from ppasr_tpu.decoders.beam_search import BeamSearchDecoder
+                return BeamSearchDecoder(vocab_list=vocab, **conf)
+            from ppasr_tpu.decoders.beam_search_jax import JaxBeamSearchDecoder
+            return JaxBeamSearchDecoder(vocab_list=vocab, **conf)
         except Exception as e:
             logger.warning(f"beam search unavailable ({e}); using greedy")
             return None

@@ -1,0 +1,81 @@
+"""Vectorized on-device beam search vs the host numpy oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+from ppasr_tpu.decoders.beam_search import ctc_prefix_beam_search
+from ppasr_tpu.decoders.beam_search_jax import (JaxBeamSearchDecoder,
+                                                beam_state_to_results,
+                                                ctc_beam_search_jax)
+
+VOCAB = ['<blank>'] + [chr(ord('a') + i) for i in range(25)]
+V = len(VOCAB)
+
+
+def test_matches_host_oracle():
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        t = 20
+        probs = rng.dirichlet(np.ones(V) * 0.5, size=t).astype(np.float32)
+        host = ctc_prefix_beam_search(probs.astype(np.float64),
+                                      beam_size=10, blank=0,
+                                      cutoff_prob=1.0, cutoff_top_n=V)
+        dev = ctc_beam_search_jax(jnp.asarray(probs[None]),
+                                  jnp.asarray([t]), beam_size=10,
+                                  cutoff_top_n=V, cutoff_prob=1.0)
+        res = beam_state_to_results(dev, VOCAB)
+        host_text = ''.join(VOCAB[i] for i in host[0][1])
+        assert res[0][1] == host_text
+        assert abs(res[0][0] - host[0][0]) < 1e-3
+
+
+def test_batch_respects_lengths():
+    rng = np.random.default_rng(1)
+    t = 15
+    probs = rng.dirichlet(np.ones(V) * 0.5, size=(2, t)).astype(np.float32)
+    lens = [t, 7]
+    dev = ctc_beam_search_jax(jnp.asarray(probs), jnp.asarray(lens),
+                              beam_size=8, cutoff_top_n=V, cutoff_prob=1.0)
+    res = beam_state_to_results(dev, VOCAB)
+    # second utterance must equal decoding only its first 7 frames
+    host = ctc_prefix_beam_search(probs[1, :7].astype(np.float64),
+                                  beam_size=8, blank=0, cutoff_prob=1.0,
+                                  cutoff_top_n=V)
+    host_text = ''.join(VOCAB[i] for i in host[0][1])
+    assert res[1][1] == host_text
+
+
+def test_streaming_equals_offline():
+    rng = np.random.default_rng(2)
+    probs = rng.dirichlet(np.ones(V) * 0.5, size=24).astype(np.float32)
+    dec = JaxBeamSearchDecoder(VOCAB, beam_size=8, cutoff_prob=1.0,
+                               cutoff_top_n=V, alpha=0, beta=0)
+    off_score, off_text = dec.decode(probs)
+    dec.reset()
+    score = text = None
+    for chunk in np.split(probs, [8, 16]):
+        score, text = dec.decode_chunk(chunk)
+    assert text == off_text
+    assert abs(score - off_score) < 1e-3
+
+
+def test_lm_fusion_changes_ranking(tmp_path):
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text("""
+\\data\\
+ngram 1=2
+
+\\1-grams:
+-0.1\tb
+-3.0\ta
+
+\\end\\
+""")
+    probs = np.array([[0.05, 0.5, 0.45], [0.9, 0.05, 0.05]], np.float32)
+    vocab = ['<blank>', 'a', 'b']
+    no_lm = JaxBeamSearchDecoder(vocab, beam_size=4, cutoff_prob=1.0,
+                                 cutoff_top_n=3, alpha=0, beta=0)
+    assert no_lm.decode(probs)[1] == 'a'
+    with_lm = JaxBeamSearchDecoder(vocab, beam_size=4, cutoff_prob=1.0,
+                                   cutoff_top_n=3, alpha=2.0, beta=0,
+                                   language_model_path=str(arpa))
+    assert with_lm.decode(probs)[1] == 'b'
