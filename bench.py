@@ -1,16 +1,21 @@
-"""Benchmark: flagship streaming-conformer offline encode throughput on one
-chip, in audio-seconds per second per chip.
+"""Benchmark: flagship streaming-conformer throughput on one chip.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Primary metric (ONE JSON line on stdout, driver contract):
+  offline encode throughput in audio-seconds/s/chip.
+Secondary metrics (stderr): streaming chunk step latency + streaming
+throughput, per-chunk decode cost.
 
 Baseline: the reference publishes no throughput numbers; the only speed
 figure is the docs' eval log — 45 batches in ~10 s for conformer_online
 eval (≈4.5 batch/s × 16 utts × ~10 s audio ≈ 720 audio-s/s, GPU CC 7.5,
-/root/reference/docs/eval.md). vs_baseline is measured against that 720
-audio-s/s estimate.
+/root/reference/docs/eval.md). vs_baseline measures against that estimate.
+
+NOTE: on the axon tunnel block_until_ready returns before execution
+finishes; every timed region ends with a small device→host transfer as the
+fence (the queue serializes execution).
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -21,10 +26,9 @@ import jax.numpy as jnp
 BASELINE_AUDIO_S_PER_S = 720.0
 
 
-def main():
+def _flagship():
     from ppasr_tpu.models.factory import build_model
-
-    model = build_model(
+    return build_model(
         'conformer', 80, 4096, streaming=True,
         encoder_conf=dict(output_size=256, attention_heads=4,
                           linear_units=2048, num_blocks=12,
@@ -33,41 +37,76 @@ def main():
                           num_blocks=3, r_num_blocks=3),
         model_conf=dict(ctc_weight=0.3, lsm_weight=0.1, reverse_weight=0.3))
 
-    rng = jax.random.PRNGKey(0)
-    bsz, frames = 16, 1000  # 16 × 10 s utterances (100 frames/s)
+
+def _fence(x):
+    leaf = jax.tree.leaves(x)[0]
+    _ = np.asarray(leaf.ravel()[:4])  # tiny on-device slice → host
+
+
+def bench_offline(model, params, iters=10, bsz=16, frames=1000):
     speech = jnp.asarray(
         np.random.default_rng(0).standard_normal((bsz, frames, 80)) * 0.3,
         jnp.float32)
     lens = jnp.full((bsz,), frames, jnp.int32)
-    text = jnp.tile(jnp.asarray([[1, 2, 3, -1]], jnp.int32), (bsz, 1))
-    tlens = jnp.full((bsz,), 3, jnp.int32)
-
-    params = model.init({'params': rng, 'dropout': rng, 'chunk': rng},
-                        speech[:1, :128], lens[:1], text[:1], tlens[:1],
-                        deterministic=False)
-
     fwd = jax.jit(lambda p, s, l: model.apply(p, s, l,
                                               method='get_encoder_out'))
-    # warm-up / compile; fetch to host — on the axon tunnel
-    # block_until_ready returns before execution finishes, so a small
-    # device→host transfer is the reliable fence.
     out = fwd(params, speech, lens)
-    _ = np.asarray(out[0][0, 0, :4])
-
-    iters = 10
+    _fence(out)
     start = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, speech, lens)
-    _ = np.asarray(out[0][0, 0, :4])  # fence: queue is serialized
+    _fence(out)
     elapsed = time.perf_counter() - start
+    return bsz * (frames / 100.0) * iters / elapsed
 
-    audio_seconds = bsz * (frames / 100.0) * iters
-    value = audio_seconds / elapsed
+
+def bench_streaming(model, params, bsz=16, n_chunks=50):
+    """Batched streaming: B concurrent streams, 0.64 s chunks (64 frames →
+    window 67), measuring chunk-step latency with device-resident state."""
+    window = 67
+    state = model.init_state(bsz, 16 * 4)  # 4 left chunks
+    chunk_fn = jax.jit(lambda p, x, st: model.apply(
+        p, x, st, method='get_encoder_out_chunk'))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (bsz, window, 80)) * 0.3, jnp.float32)
+    probs, state = chunk_fn(params, x, state)  # compile
+    _fence(probs)
+    start = time.perf_counter()
+    for _ in range(n_chunks):
+        probs, state = chunk_fn(params, x, state)
+    _fence(probs)
+    elapsed = time.perf_counter() - start
+    latency_ms = elapsed / n_chunks * 1000
+    audio_s = bsz * 0.64 * n_chunks
+    return latency_ms, audio_s / elapsed
+
+
+def main():
+    model = _flagship()
+    rng = jax.random.PRNGKey(0)
+    speech0 = jnp.zeros((1, 128, 80), jnp.float32)
+    params = model.init(
+        {'params': rng, 'dropout': rng, 'chunk': rng},
+        speech0, jnp.asarray([128]),
+        jnp.asarray([[1, 2, -1]], jnp.int32), jnp.asarray([2]),
+        deterministic=False)
+
+    offline = bench_offline(model, params)
+    lat_ms, stream_tp = bench_streaming(model, params)
+    print(json.dumps({
+        "metric": "streaming_chunk_latency_b16", "value": round(lat_ms, 2),
+        "unit": "ms/chunk-step (16 streams, 0.64s chunks)",
+        "vs_baseline": None}), file=sys.stderr)
+    print(json.dumps({
+        "metric": "streaming_encode_throughput",
+        "value": round(stream_tp, 2), "unit": "audio-seconds/s/chip",
+        "vs_baseline": round(stream_tp / BASELINE_AUDIO_S_PER_S, 3)},
+        ), file=sys.stderr)
     print(json.dumps({
         "metric": "offline_encode_throughput_conformer256x12",
-        "value": round(value, 2),
+        "value": round(offline, 2),
         "unit": "audio-seconds/s/chip",
-        "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
+        "vs_baseline": round(offline / BASELINE_AUDIO_S_PER_S, 3),
     }))
 
 

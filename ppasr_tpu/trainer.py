@@ -193,7 +193,15 @@ class PPASRTrainer:
             manifest_type=dataset_conf.get('manifest_type', 'txt'),
             augmentation_config=aug_conf, train=train)
 
-    def _build_model(self, input_dim, vocab_size, dtype=jnp.float32):
+    def _build_model(self, input_dim, vocab_size, dtype=None):
+        if dtype is None:
+            # enable_amp ⇒ bfloat16 activations (params stay f32; flax casts
+            # per-module) — the TPU-native analogue of the reference's AMP
+            # GradScaler path (trainer.py:218-220); no loss scaling is needed
+            # since bf16 keeps the f32 exponent range.
+            amp = bool(self.configs.get('train_conf', {}).get('enable_amp',
+                                                              False))
+            dtype = jnp.bfloat16 if amp else jnp.float32
         return build_model(self.use_model, input_dim, vocab_size,
                            streaming=self.streaming,
                            encoder_conf=dict(self.configs.get('encoder_conf',
