@@ -72,6 +72,32 @@ class Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *log_args):
         logger.info("%s " + fmt, self.address_string(), *log_args)
 
+    def do_GET(self):
+        """Serve the web demo client (templates/index.html + static/)."""
+        root = os.path.dirname(os.path.abspath(__file__))
+        if self.path in ('/', '/index.html'):
+            path = os.path.join(root, 'templates', 'index.html')
+            ctype = 'text/html; charset=utf-8'
+        elif self.path.startswith('/static/'):
+            path = os.path.join(root, self.path.lstrip('/'))
+            ctype = 'application/javascript' if path.endswith('.js') \
+                else 'application/octet-stream'
+        else:
+            self.send_response(404)
+            self.end_headers()
+            return
+        if not os.path.exists(path):
+            self.send_response(404)
+            self.end_headers()
+            return
+        with open(path, 'rb') as f:
+            body = f.read()
+        self.send_response(200)
+        self.send_header('Content-Type', ctype)
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_POST(self):
         audio_bytes = _extract_upload(self)
         if not audio_bytes:

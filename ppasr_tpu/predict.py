@@ -85,8 +85,24 @@ class PPASRPredictor:
             model_conf=infer_conf.get('model_conf'),
             mean_istd_path=mean_istd_path)
         params_shape = self._init_params_shape()
-        with open(os.path.join(model_path, 'model.msgpack'), 'rb') as f:
-            self.params = serialization.from_bytes(params_shape, f.read())
+        full_path = os.path.join(model_path, 'model.msgpack')
+        quant_path = os.path.join(model_path, 'model_quant.msgpack')
+        if os.path.exists(full_path):
+            with open(full_path, 'rb') as f:
+                self.params = serialization.from_bytes(params_shape,
+                                                       f.read())
+        elif os.path.exists(quant_path):
+            # int8 weight-quantized artifact → dequantize at load
+            from ppasr_tpu.utils.quant import dequantize_params
+            import numpy as _np
+            with open(quant_path, 'rb') as f:
+                blob = serialization.msgpack_restore(f.read())
+            zeros = jax.tree.map(lambda s: _np.zeros(s.shape, s.dtype),
+                                 params_shape)
+            self.params = dequantize_params(blob, zeros)
+        else:
+            raise FileNotFoundError(
+                f"no model.msgpack / model_quant.msgpack in {model_path}")
 
         # chunk math (reference predict.py:277-283)
         self.decoding_chunk_size = decoding_chunk_size

@@ -84,11 +84,19 @@ def data_mesh(devices=None) -> Mesh:
 def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
     """Place batch arrays with dim ``batch_axis`` sharded over 'data'
     (axis 1 for [accum, B, ...] micro-batched training arrays, axis 0 for
-    plain eval batches)."""
+    plain eval batches). Multi-host: each process passes its LOCAL shard
+    (from the distributed sampler) and the global array is assembled with
+    make_array_from_process_local_data — data rides ICI/DCN, never a single
+    host."""
+    multihost = jax.process_count() > 1
+
     def put(x):
         spec = [None] * x.ndim
         spec[batch_axis] = 'data'
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        sharding = NamedSharding(mesh, P(*spec))
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
     return jax.tree.map(put, batch)
 
 

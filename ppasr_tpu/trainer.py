@@ -335,10 +335,27 @@ class PPASRTrainer:
         vocab_size = train_dataset.vocab_size
         input_dim = train_dataset.feature_dim
 
+        # multi-host: initialize the JAX distributed runtime when launched
+        # under a coordinator (replaces fleet.init collective setup,
+        # reference trainer.py:529-532); each host loads its own shard of
+        # batches via the distributed sortagrad sampler.
+        if os.environ.get('JAX_COORDINATOR_ADDRESS') and \
+                jax.process_count() == 1:
+            try:
+                jax.distributed.initialize()
+            except Exception as e:
+                logger.warning(f"jax.distributed.initialize failed: {e}")
+        nprocs = jax.process_count()
+        rank = jax.process_index()
+
         mesh = data_mesh()
-        nranks = mesh.devices.size
-        sampler = SortagradBatchSampler(
-            len(train_dataset), batch_size * accum_grad, drop_last=True)
+        if nprocs > 1:
+            sampler = SortagradDistributedBatchSampler(
+                len(train_dataset), batch_size * accum_grad,
+                num_replicas=nprocs, rank=rank, drop_last=True)
+        else:
+            sampler = SortagradBatchSampler(
+                len(train_dataset), batch_size * accum_grad, drop_last=True)
         loader = DataLoader(train_dataset, sampler,
                             num_workers=int(dataset_conf.get('num_workers',
                                                              4)),
@@ -434,13 +451,15 @@ class PPASRTrainer:
                 writer.add_scalar(f'Test/{metric_name}', error_rate,
                                   int(state.step))
                 writer.add_scalar('Test/Loss', test_loss, int(state.step))
-            self._save_checkpoint(save_model_path, jax.device_get(state),
-                                  epoch + 1, error_rate, test_loss)
-            if error_rate < best_error:
-                best_error = error_rate
-                self._save_checkpoint(save_model_path,
-                                      jax.device_get(state), epoch + 1,
-                                      error_rate, test_loss, best=True)
+            if rank == 0:  # only the coordinator writes checkpoints
+                host_state = jax.device_get(state)
+                self._save_checkpoint(save_model_path, host_state,
+                                      epoch + 1, error_rate, test_loss)
+                if error_rate < best_error:
+                    best_error = error_rate
+                    self._save_checkpoint(save_model_path, host_state,
+                                          epoch + 1, error_rate, test_loss,
+                                          best=True)
             if self.stop_train:
                 break
         return state
@@ -533,9 +552,11 @@ class PPASRTrainer:
     # ---------------------------------------------------------------- export
 
     def export(self, save_model_path: str = 'models/',
-               resume_model: str = None):
+               resume_model: str = None, save_quant: bool = False):
         """Write the inference artifact: params + inference config JSON
-        (reference trainer.py:647-694; jit replaces static graphs)."""
+        (reference trainer.py:647-694; jit replaces static graphs).
+        ``save_quant`` additionally writes an int8 weight-quantized artifact
+        (reference PaddleSlim post-quant, trainer.py:684-694)."""
         test_dataset = self._build_dataset(train=False)
         model = self._build_model(test_dataset.feature_dim,
                                   test_dataset.vocab_size)
@@ -547,8 +568,16 @@ class PPASRTrainer:
                                          state)
         infer_dir = os.path.join(self._save_dir(save_model_path), 'infer')
         os.makedirs(infer_dir, exist_ok=True)
+        host_params = jax.device_get(state.params)
         with open(os.path.join(infer_dir, 'model.msgpack'), 'wb') as f:
-            f.write(serialization.to_bytes(jax.device_get(state.params)))
+            f.write(serialization.to_bytes(host_params))
+        if save_quant:
+            from ppasr_tpu.utils.quant import quantize_params
+            blob = quantize_params(host_params)
+            with open(os.path.join(infer_dir, 'model_quant.msgpack'),
+                      'wb') as f:
+                f.write(serialization.to_bytes(blob))
+            logger.info("int8 weight-quantized artifact written")
         with open(os.path.join(infer_dir, 'inference.json'), 'w',
                   encoding='utf-8') as f:
             json.dump({'use_model': self.use_model,
