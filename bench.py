@@ -81,6 +81,26 @@ def bench_streaming(model, params, bsz=16, n_chunks=50):
     return latency_ms, audio_s / elapsed
 
 
+def bench_frontend(iters=20, bsz=16, seconds=10):
+    """Fused Pallas fbank vs XLA-FFT fbank, audio-s/s."""
+    from ppasr_tpu.ops.fbank import fbank_jax
+    from ppasr_tpu.ops.fbank_pallas import fbank_pallas
+    wav = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (bsz, seconds * 16000)).astype(np.float32) * 3000)
+    lens = jnp.full((bsz,), seconds * 16000, jnp.int32)
+    results = {}
+    for name, f in [("pallas", fbank_pallas), ("xla_fft", fbank_jax)]:
+        fn = jax.jit(lambda w, l, f=f: f(w, l, num_mel_bins=80))
+        out = fn(wav, lens)
+        _fence(out)
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = fn(wav, lens)
+        _fence(out)
+        results[name] = bsz * seconds * iters / (time.perf_counter() - start)
+    return results
+
+
 def main():
     model = _flagship()
     rng = jax.random.PRNGKey(0)
@@ -93,6 +113,12 @@ def main():
 
     offline = bench_offline(model, params)
     lat_ms, stream_tp = bench_streaming(model, params)
+    fe = bench_frontend()
+    print(json.dumps({
+        "metric": "fbank_frontend_throughput",
+        "value": {k: round(v, 0) for k, v in fe.items()},
+        "unit": "audio-seconds/s/chip", "vs_baseline": None}),
+        file=sys.stderr)
     print(json.dumps({
         "metric": "streaming_chunk_latency_b16", "value": round(lat_ms, 2),
         "unit": "ms/chunk-step (16 streams, 0.64s chunks)",
