@@ -154,6 +154,11 @@ class PPASRPredictor:
                         BeamSearchDecoder
                     self._beam_decoder = BeamSearchDecoder(
                         vocab_list=self.vocab_list, **conf)
+                elif backend == 'native':
+                    from ppasr_tpu.decoders.native import \
+                        NativeBeamSearchDecoder
+                    self._beam_decoder = NativeBeamSearchDecoder(
+                        vocab_list=self.vocab_list, **conf)
                 else:
                     from ppasr_tpu.decoders.beam_search_jax import \
                         JaxBeamSearchDecoder

@@ -477,6 +477,9 @@ class PPASRTrainer:
             if backend == 'host':
                 from ppasr_tpu.decoders.beam_search import BeamSearchDecoder
                 return BeamSearchDecoder(vocab_list=vocab, **conf)
+            if backend == 'native':
+                from ppasr_tpu.decoders.native import NativeBeamSearchDecoder
+                return NativeBeamSearchDecoder(vocab_list=vocab, **conf)
             from ppasr_tpu.decoders.beam_search_jax import JaxBeamSearchDecoder
             return JaxBeamSearchDecoder(vocab_list=vocab, **conf)
         except Exception as e:
