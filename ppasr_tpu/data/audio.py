@@ -346,7 +346,10 @@ def _decode_frames(data: bytes, sampwidth: int, nchannels: int) -> np.ndarray:
 
 def _read_wav(file):
     """Read a (possibly non-PCM-header) WAV file. Falls back to
-    scipy.io.wavfile for float WAVs the wave module rejects."""
+    scipy.io.wavfile for float WAVs the wave module rejects, then to an
+    ffmpeg subprocess for non-WAV containers (mp3/flac/opus — the
+    reference's PyAV fallback, audio.py:55-71 / utils.py:313-345) when
+    ffmpeg is installed."""
     try:
         with wave.open(_as_reader(file), "rb") as wf:
             sr = wf.getframerate()
@@ -354,8 +357,39 @@ def _read_wav(file):
             samples = _decode_frames(data, wf.getsampwidth(), wf.getnchannels())
         return samples, sr
     except (wave.Error, EOFError, struct.error):
+        pass
+    try:
         from scipy.io import wavfile
         if hasattr(file, "seek"):
             file.seek(0)
         sr, samples = wavfile.read(file)
         return samples, sr
+    except Exception:
+        pass
+    return _read_via_ffmpeg(file)
+
+
+def _read_via_ffmpeg(file, target_sr: int = 16000):
+    import shutil
+    import subprocess
+    if shutil.which("ffmpeg") is None:
+        raise ValueError(
+            f"cannot decode {file!r}: not a readable WAV and ffmpeg is not "
+            f"installed (needed for mp3/flac/opus)")
+    if hasattr(file, "read"):
+        if hasattr(file, "seek"):
+            file.seek(0)
+        data = file.read()
+        cmd_in = ["-i", "pipe:0"]
+    else:
+        data = None
+        cmd_in = ["-i", str(file)]
+    proc = subprocess.run(
+        ["ffmpeg", "-loglevel", "quiet"] + cmd_in
+        + ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1",
+           "-ar", str(target_sr), "pipe:1"],
+        input=data, capture_output=True)
+    if proc.returncode != 0 or not proc.stdout:
+        raise ValueError(f"ffmpeg failed to decode {file!r}")
+    samples = np.frombuffer(proc.stdout, dtype=np.int16)
+    return samples, target_sr

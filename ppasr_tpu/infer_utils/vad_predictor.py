@@ -5,20 +5,85 @@ API parity with reference ppasr/infer_utils/vad_predictor.py:11-213
 neg-threshold hysteresis, min-speech 250 ms, min-silence 100 ms, 30 ms pad;
 ``stream_vad`` incremental start/end events; ``reset_states``).
 
-The reference runs the Silero ONNX model; this implementation scores frames
-with a log-RMS-energy sigmoid calibrated against the utterance's noise floor
-— dependency-free and adequate for segmentation of long recordings. The
-scoring function is isolated in ``_frame_probs`` so a learned JAX VAD can
-drop in.
+The reference runs the Silero ONNX model. Here:
+- default scoring is a log-RMS-energy sigmoid calibrated against the
+  utterance's noise floor — dependency-free and adequate for segmenting
+  long recordings;
+- ``model_dir`` loads a learned Silero-style conv+LSTM JAX model
+  (``VADModel`` below) trained with tools-of-your-choice; it plugs into the
+  same ``_frame_probs`` hook.
 """
+import os
+
 import numpy as np
+
+
+class VADModel:
+    """Silero-style conv + LSTM frame classifier in flax (the JAX
+    re-implementation obligation of SURVEY.md §2.3 item 5). Weights live in
+    ``vad_model.msgpack``; architecture: 4× strided conv1d → LSTM → dense
+    sigmoid per 512-sample window."""
+
+    def __init__(self, model_dir: str):
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        class _Net(nn.Module):
+            @nn.compact
+            def __call__(self, x, carry=None):
+                # x: [B, 512] raw samples
+                h = x[..., None]
+                for feat, stride in [(16, 4), (32, 4), (48, 4), (64, 2)]:
+                    h = nn.Conv(feat, (5,), strides=(stride,),
+                                padding='SAME')(h)
+                    h = nn.relu(h)
+                h = h.reshape(h.shape[0], -1)
+                cell = nn.OptimizedLSTMCell(64)
+                if carry is None:
+                    carry = cell.initialize_carry(
+                        jax.random.PRNGKey(0), (h.shape[0], 64))
+                carry, out = cell(carry, nn.Dense(64)(h))
+                prob = nn.sigmoid(nn.Dense(1)(out))[:, 0]
+                return prob, carry
+
+        self._net = _Net()
+        path = os.path.join(model_dir, 'vad_model.msgpack')
+        shape = jax.eval_shape(lambda: self._net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 512))))
+        with open(path, 'rb') as f:
+            self._params = serialization.from_bytes(shape, f.read())
+        self._carry = None
+        self._fn = jax.jit(lambda p, x, c: self._net.apply(p, x, carry=c))
+        self._jnp = jnp
+
+    def reset(self):
+        self._carry = None
+
+    def __call__(self, windows: np.ndarray) -> np.ndarray:
+        """[N, 512] windows → [N] speech probabilities (stateful)."""
+        probs = []
+        for i in range(windows.shape[0]):
+            p, self._carry = self._fn(self._params,
+                                      self._jnp.asarray(windows[i:i + 1]),
+                                      self._carry)
+            probs.append(float(p[0]))
+        return np.asarray(probs, np.float32)
 
 
 class VADPredictor:
     def __init__(self, window_size_samples: int = 512,
-                 sampling_rate: int = 16000):
+                 sampling_rate: int = 16000, model_dir: str = None):
         self.window_size_samples = window_size_samples
         self.sampling_rate = sampling_rate
+        self.model = None
+        if model_dir and os.path.exists(
+                os.path.join(model_dir, 'vad_model.msgpack')):
+            try:
+                self.model = VADModel(model_dir)
+            except Exception:
+                self.model = None
         self.reset_states()
 
     def reset_states(self):
@@ -27,17 +92,21 @@ class VADPredictor:
         self._triggered = False
         self._temp_end = 0
         self._noise_floor = None
+        if self.model is not None:
+            self.model.reset()
 
     # ------------------------------------------------------------- scoring
 
     def _frame_probs(self, wav: np.ndarray) -> np.ndarray:
-        """[num_windows] speech probabilities from log-RMS energy relative to
-        the estimated noise floor."""
+        """[num_windows] speech probabilities: learned model when loaded,
+        else log-RMS energy relative to the estimated noise floor."""
         w = self.window_size_samples
         n = len(wav) // w
         if n == 0:
             return np.zeros(0, np.float32)
         frames = wav[:n * w].reshape(n, w)
+        if self.model is not None:
+            return self.model(frames)
         rms_db = 10 * np.log10(np.mean(frames ** 2, axis=1) + 1e-10)
         floor = self._noise_floor
         if floor is None:

@@ -348,7 +348,10 @@ class PPASRTrainer:
         nprocs = jax.process_count()
         rank = jax.process_index()
 
-        mesh = data_mesh()
+        # shard the batch over as many devices as divide it evenly
+        import math
+        n_data = math.gcd(batch_size, len(jax.devices()))
+        mesh = data_mesh(jax.devices()[:max(n_data, 1)])
         if nprocs > 1:
             sampler = SortagradDistributedBatchSampler(
                 len(train_dataset), batch_size * accum_grad,

@@ -65,6 +65,39 @@ def print_arguments(args=None, configs=None, title=None):
         logger.info("------------------------------------------------")
 
 
+def download(url: str, download_target: str) -> str:
+    """Download a file with progress (reference utils.py:88-99)."""
+    import os
+    import urllib.request
+    os_dir = os.path.dirname(download_target)
+    if os_dir:
+        os.makedirs(os_dir, exist_ok=True)
+
+    def _progress(count, block_size, total_size):
+        pct = count * block_size * 100 // max(total_size, 1)
+        print(f"\rdownloading {url}: {min(pct, 100)}%", end='', flush=True)
+
+    urllib.request.urlretrieve(url, download_target, _progress)
+    print()
+    return download_target
+
+
+def download_model(url: str, download_target_dir: str) -> str:
+    """Fetch + unpack a packaged model zip (reference utils.py:101-116;
+    the reference's model zoo hosts Paddle checkpoints — point this at your
+    own exported-artifact zips)."""
+    import os
+    import zipfile
+    os.makedirs(download_target_dir, exist_ok=True)
+    zip_path = os.path.join(download_target_dir, url.split('/')[-1])
+    if not os.path.exists(zip_path):
+        download(url, zip_path)
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(download_target_dir)
+    os.remove(zip_path)
+    return download_target_dir
+
+
 def labels_to_string(labels: Sequence[int],
                      vocabulary: Sequence[str],
                      eos: int = None,

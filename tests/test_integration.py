@@ -1,0 +1,130 @@
+"""End-to-end integration: create_data → train → export → predict (offline +
+streaming) on a tiny synthetic corpus, all through the public APIs."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ppasr_tpu.data.audio import AudioSegment
+
+FIXTURE = "/root/reference/dataset/test.wav"
+
+TINY_CONFIG = {
+    'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                     'linear_units': 64, 'num_blocks': 1,
+                     'cnn_module_kernel': 7},
+    'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                     'num_blocks': 1, 'r_num_blocks': 1},
+    'model_conf': {'ctc_weight': 0.7, 'lsm_weight': 0.1,
+                   'reverse_weight': 0.3},
+    'preprocess_conf': {'feature_method': 'fbank', 'n_mels': 80,
+                        'sample_rate': 16000, 'use_dB_normalization': True,
+                        'target_dB': -20},
+    'optimizer_conf': {'optimizer': 'Adam', 'weight_decay': 1e-6,
+                       'learning_rate': 0.001, 'scheduler': 'WarmupLR',
+                       'scheduler_conf': {'warmup_steps': 10,
+                                          'min_lr': 1e-5}},
+    'train_conf': {'enable_amp': False, 'grad_clip': 5.0, 'accum_grad': 1,
+                   'max_epoch': 1, 'log_interval': 10},
+    'use_model': 'conformer',
+    'streaming': True,
+    'decoder': 'ctc_greedy',
+    'metrics_type': 'cer',
+}
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        full = AudioSegment.from_file(FIXTURE)
+        samples = full.samples
+        os.makedirs("dataset/audio", exist_ok=True)
+        rng = np.random.default_rng(0)
+        lines = []
+        texts = ["你好", "世界"]
+        for i in range(8):
+            start = int(rng.uniform(0, len(samples) - 16000))
+            seg = AudioSegment(samples[start:start + 12000].copy(), 16000)
+            p = os.path.abspath(f"dataset/audio/u{i}.wav")
+            seg.to_wav_file(p)
+            lines.append(f"{p}\t{texts[i % 2]}")
+        os.makedirs("dataset/annotation", exist_ok=True)
+        with open("dataset/annotation/train.txt", "w",
+                  encoding='utf-8') as f:
+            f.write("\n".join(lines[:6]))
+        with open("dataset/annotation/test.txt", "w",
+                  encoding='utf-8') as f:
+            f.write("\n".join(lines[6:]))
+        cfg = dict(TINY_CONFIG)
+        cfg['dataset_conf'] = {
+            'batch_size': 2, 'num_workers': 1, 'min_duration': 0.3,
+            'max_duration': 20,
+            'train_manifest': 'dataset/manifest.train',
+            'test_manifest': 'dataset/manifest.test',
+            'dataset_vocab': 'dataset/vocabulary.txt',
+            'mean_istd_path': 'dataset/mean_istd.json',
+            'noise_manifest_path': 'dataset/manifest.noise',
+            'manifest_type': 'txt'}
+        yield cfg
+    finally:
+        os.chdir(cwd)
+
+
+def test_full_pipeline(workspace):
+    from ppasr_tpu.trainer import PPASRTrainer
+    trainer = PPASRTrainer(configs=dict(workspace))
+    trainer.create_data(annotation_path='dataset/annotation/',
+                        noise_dir=None, num_samples=-1, count_threshold=1,
+                        is_change_frame_rate=False)
+    assert os.path.exists('dataset/vocabulary.txt')
+    assert os.path.exists('dataset/mean_istd.json')
+
+    trainer.train(save_model_path='models/')
+    ckpt = 'models/conformer_streaming_fbank/last_model'
+    assert os.path.exists(os.path.join(ckpt, 'model.msgpack'))
+    with open(os.path.join(ckpt, 'model.state')) as f:
+        state = json.load(f)
+    assert state['last_epoch'] == 1
+
+    error_rate, loss = trainer.evaluate(resume_model='models/')
+    assert np.isfinite(loss)
+
+    infer_dir = trainer.export(save_model_path='models/')
+    assert os.path.exists(os.path.join(infer_dir, 'inference.json'))
+
+    from ppasr_tpu.predict import PPASRPredictor
+    predictor = PPASRPredictor(configs=dict(workspace),
+                               model_path=infer_dir)
+    result = predictor.predict(FIXTURE)
+    assert 'text' in result and 'score' in result
+
+    # streaming: feed 0.5 s chunks
+    seg = AudioSegment.from_file(FIXTURE)
+    chunk = 8000
+    for i in range(0, min(len(seg.samples), 48000), chunk):
+        result = predictor.predict_stream(seg.samples[i:i + chunk],
+                                          is_end=False)
+    result = predictor.predict_stream(b'', is_end=True)
+    assert 'text' in result
+    predictor.reset_stream()
+
+
+def test_vad_segmentation():
+    from ppasr_tpu.infer_utils.vad_predictor import VADPredictor
+    rng = np.random.default_rng(0)
+    sr = 16000
+    # 1 s noise floor, 1 s loud speech-ish, 1 s noise
+    wav = np.concatenate([
+        rng.standard_normal(sr) * 0.001,
+        rng.standard_normal(sr) * 0.3,
+        rng.standard_normal(sr) * 0.001]).astype(np.float32)
+    vad = VADPredictor(sampling_rate=sr)
+    speeches = vad.get_speech_timestamps(wav)
+    assert len(speeches) >= 1
+    s = speeches[0]
+    assert abs(s['start'] - sr) < sr * 0.3
+    assert abs(s['end'] - 2 * sr) < sr * 0.3
