@@ -15,6 +15,7 @@ finishes; every timed region ends with a small device→host transfer as the
 fence (the queue serializes execution).
 """
 import json
+import os
 import sys
 import time
 
@@ -101,6 +102,32 @@ def bench_frontend(iters=20, bsz=16, seconds=10):
     return results
 
 
+def bench_train_step(model, params, iters=5, bsz=8, frames=1000):
+    """Full training step (fwd+bwd+adamw) throughput in audio-s/s."""
+    import optax
+    from ppasr_tpu.train_state import TrainState, make_train_step
+    tx = optax.adamw(1e-4)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    step_fn = jax.jit(make_train_step(model, tx, accum_grad=1))
+    batch = {
+        'speech': jnp.asarray(np.random.default_rng(3).standard_normal(
+            (1, bsz, frames, 80)) * 0.3, jnp.float32),
+        'speech_lens': jnp.full((1, bsz), frames, jnp.int32),
+        'text': jnp.tile(jnp.asarray([[[1, 2, 3, -1]]], jnp.int32),
+                         (1, bsz, 1)),
+        'text_lens': jnp.full((1, bsz), 3, jnp.int32),
+    }
+    rng = jax.random.PRNGKey(0)
+    state, metrics = step_fn(state, batch, rng)
+    _fence(metrics)
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch, rng)
+    _fence(metrics)
+    return bsz * (frames / 100.0) * iters / (time.perf_counter() - start)
+
+
 def main():
     model = _flagship()
     rng = jax.random.PRNGKey(0)
@@ -113,12 +140,20 @@ def main():
 
     offline = bench_offline(model, params)
     lat_ms, stream_tp = bench_streaming(model, params)
-    fe = bench_frontend()
-    print(json.dumps({
-        "metric": "fbank_frontend_throughput",
-        "value": {k: round(v, 0) for k, v in fe.items()},
-        "unit": "audio-seconds/s/chip", "vs_baseline": None}),
-        file=sys.stderr)
+    if os.environ.get('BENCH_FULL'):
+        # heavy extras (compile time through the device tunnel is minutes)
+        fe = bench_frontend()
+        print(json.dumps({
+            "metric": "fbank_frontend_throughput",
+            "value": {k: round(v, 0) for k, v in fe.items()},
+            "unit": "audio-seconds/s/chip", "vs_baseline": None}),
+            file=sys.stderr)
+        train_tp = bench_train_step(model, params)
+        print(json.dumps({
+            "metric": "train_step_throughput",
+            "value": round(train_tp, 2),
+            "unit": "audio-seconds/s/chip (fwd+bwd+adamw, B=8x10s)",
+            "vs_baseline": None}), file=sys.stderr)
     print(json.dumps({
         "metric": "streaming_chunk_latency_b16", "value": round(lat_ms, 2),
         "unit": "ms/chunk-step (16 streams, 0.64s chunks)",
