@@ -44,9 +44,12 @@ class PPASRPredictor:
                  vocab_path: str = None, mean_istd_path: str = None,
                  decoding_chunk_size: int = 16,
                  num_decoding_left_chunks: int = -1,
-                 time_bucket_frames: int = 100):
+                 time_bucket_frames: int = 100,
+                 compute_dtype: str = 'float32'):
         """``model_path``: exported dir containing model.msgpack +
-        inference.json (see PPASRTrainer.export)."""
+        inference.json (see PPASRTrainer.export).
+        ``compute_dtype='bfloat16'`` runs activations in bf16 (~30% faster
+        on TPU; CTC posteriors are still computed in f32)."""
         self.configs = load_config(configs) if configs is not None else None
         with open(os.path.join(model_path, 'inference.json'), 'r',
                   encoding='utf-8') as f:
@@ -83,7 +86,9 @@ class PPASRPredictor:
             encoder_conf=infer_conf.get('encoder_conf'),
             decoder_conf=infer_conf.get('decoder_conf'),
             model_conf=infer_conf.get('model_conf'),
-            mean_istd_path=mean_istd_path)
+            mean_istd_path=mean_istd_path,
+            dtype=jnp.bfloat16 if compute_dtype == 'bfloat16'
+            else jnp.float32)
         params_shape = self._init_params_shape()
         full_path = os.path.join(model_path, 'model.msgpack')
         quant_path = os.path.join(model_path, 'model_quant.msgpack')
