@@ -37,7 +37,13 @@ logger = setup_logger(__name__)
 
 
 class PPASRPredictor:
+    # model-tag → artifact-zip URL registry (reference predict.py:42-58
+    # auto-downloads by model_tag from its model zoo; register your own
+    # exported-artifact zips here or pass full URLs)
+    MODEL_ZOO = {}
+
     def __init__(self, configs=None, model_path: str = None,
+                 model_tag: str = None,
                  use_gpu: bool = True, decoder: str = None,
                  decoder_configs: dict = None,
                  use_pun: bool = False, pun_model_dir: str = None,
@@ -51,6 +57,11 @@ class PPASRPredictor:
         ``compute_dtype='bfloat16'`` runs activations in bf16 (~30% faster
         on TPU; CTC posteriors are still computed in f32)."""
         self.configs = load_config(configs) if configs is not None else None
+        if model_path is None and model_tag is not None:
+            url = self.MODEL_ZOO.get(model_tag, model_tag)
+            from ppasr_tpu.utils.common import download_model
+            model_path = download_model(url,
+                                        os.path.join('models', model_tag))
         with open(os.path.join(model_path, 'inference.json'), 'r',
                   encoding='utf-8') as f:
             infer_conf = json.load(f)

@@ -366,6 +366,9 @@ class PPASRTrainer:
 
         model = self._build_model(input_dim, vocab_size)
         params = self._init_params(model, input_dim)
+        # shape/param-count probe at train start (reference trainer.py:213-217)
+        from ppasr_tpu.utils.model_summary import summary
+        summary(params)
         params = self._load_pretrained(pretrained_model, params)
         tx, schedule = build_optimizer(
             dict(self.configs.get('optimizer_conf', {}) or {}),
@@ -438,6 +441,11 @@ class PPASRTrainer:
                                           int(state.step))
                         writer.add_scalar('Train/lr', lr, int(state.step))
                     train_times = []
+                # mid-epoch checkpoint every 10k batches
+                # (reference trainer.py:424-425)
+                if batch_id > 0 and batch_id % 10000 == 0 and rank == 0:
+                    self._save_checkpoint(save_model_path,
+                                          jax.device_get(state), epoch)
                 if self.stop_train:
                     break
                 batch_start = time.time()
