@@ -88,6 +88,14 @@ class PPASRPredictor:
 
         self.audio_featurizer = AudioFeaturizer(**preprocess_conf,
                                                 train=False)
+        # streaming featurizer: gain applied from a RUNNING RMS estimate
+        # instead of re-normalizing each partial buffer (which shifts the
+        # gain between chunks and corrupts features at chunk boundaries)
+        stream_conf = dict(preprocess_conf)
+        self._stream_target_db = stream_conf.pop('target_dB', -20) \
+            if stream_conf.get('use_dB_normalization', True) else None
+        stream_conf['use_dB_normalization'] = False
+        self.stream_featurizer = AudioFeaturizer(**stream_conf, train=False)
         self.text_featurizer = TextFeaturizer(vocab_path)
         self.vocab_list = self.text_featurizer.vocab_list
 
@@ -281,6 +289,8 @@ class PPASRPredictor:
         self._remained_wav = np.zeros(0, np.float32)
         self._cached_feat = None
         self._state = None
+        self._stream_sq_sum = 0.0
+        self._stream_n = 0
         self._stream_decoder = GreedyStreamingDecoder(self.vocab_list)
         if self._beam_decoder is not None:
             self._beam_decoder.reset()
@@ -305,10 +315,22 @@ class PPASRPredictor:
         self._remained_wav = np.concatenate([self._remained_wav,
                                              audio.samples])
 
+        # track running energy for stream-wide gain normalization
+        if audio.num_samples:
+            s = audio.samples
+            self._stream_sq_sum += float(np.sum(s.astype(np.float64) ** 2))
+            self._stream_n += len(s)
+
         # featurize everything buffered; keep the un-framed tail
         if len(self._remained_wav) >= 400:
-            seg = AudioSegment(self._remained_wav.copy(), 16000)
-            feat = self.audio_featurizer.featurize(seg)
+            buf = self._remained_wav.copy()
+            if self._stream_target_db is not None and self._stream_n:
+                rms_db = 10.0 * np.log10(
+                    self._stream_sq_sum / self._stream_n + 1e-20)
+                gain = self._stream_target_db - rms_db
+                buf = buf * (10.0 ** (min(gain, 300.0) / 20.0))
+            seg = AudioSegment(buf, 16000)
+            feat = self.stream_featurizer.featurize(seg)
             t = feat.shape[0]
             if t > 0:
                 self._remained_wav = self._remained_wav[t * 160:]
