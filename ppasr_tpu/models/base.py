@@ -39,13 +39,3 @@ class GlobalCMVN(nn.Module):
         return (x - mean) * istd
 
 
-class Dense(nn.Dense):
-    """nn.Dense with the reference's KaimingUniform kernel init."""
-
-    def __init_subclass__(cls, **kwargs):
-        super().__init_subclass__(**kwargs)
-
-
-def dense(features, use_bias=True, dtype=None, name=None):
-    return nn.Dense(features, use_bias=use_bias,
-                    kernel_init=kaiming_uniform, dtype=dtype, name=name)

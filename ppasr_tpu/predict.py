@@ -26,10 +26,8 @@ from flax import serialization
 from ppasr_tpu.data.audio import AudioSegment
 from ppasr_tpu.data.featurizer.audio_featurizer import AudioFeaturizer
 from ppasr_tpu.data.featurizer.text_featurizer import TextFeaturizer
-from ppasr_tpu.decoders.greedy import (GreedyStreamingDecoder, greedy_decoder,
-                                       greedy_decoder_batch)
+from ppasr_tpu.decoders.greedy import GreedyStreamingDecoder, greedy_decoder
 from ppasr_tpu.models.factory import build_model
-from ppasr_tpu.utils.common import dict_to_object
 from ppasr_tpu.utils.logger import setup_logger
 from ppasr_tpu.config import load_config
 

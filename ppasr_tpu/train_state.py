@@ -8,7 +8,6 @@ Replaces the reference's fleet/DDP wrapper (ppasr/trainer.py:529-544,
 ``no_sync`` dance is unnecessary — the psum happens once per step by
 construction).
 """
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
