@@ -319,15 +319,13 @@ class PPASRPredictor:
             self._stream_sq_sum += float(np.sum(s.astype(np.float64) ** 2))
             self._stream_n += len(s)
 
-        # featurize everything buffered; keep the un-framed tail
+        # featurize everything buffered WITHOUT gain; the running-RMS gain is
+        # applied later as an additive log-mel offset per consumed window
+        # (a linear gain g scales every mel energy by g², i.e. shifts
+        # log-mel by dB·ln10/10 — so cached features stay gain-free and each
+        # window uses the freshest estimate uniformly)
         if len(self._remained_wav) >= 400:
-            buf = self._remained_wav.copy()
-            if self._stream_target_db is not None and self._stream_n:
-                rms_db = 10.0 * np.log10(
-                    self._stream_sq_sum / self._stream_n + 1e-20)
-                gain = self._stream_target_db - rms_db
-                buf = buf * (10.0 ** (min(gain, 300.0) / 20.0))
-            seg = AudioSegment(buf, 16000)
+            seg = AudioSegment(self._remained_wav.copy(), 16000)
             feat = self.stream_featurizer.featurize(seg)
             t = feat.shape[0]
             if t > 0:
@@ -376,8 +374,18 @@ class PPASRPredictor:
             text = self._inverse_text_normalization(text)
         return {'text': text, 'score': result_score or 0.0}
 
+    def _stream_gain_offset(self) -> float:
+        """Additive log-mel offset from the running-RMS dB gain estimate."""
+        if self._stream_target_db is None or not self._stream_n:
+            return 0.0
+        rms_db = 10.0 * np.log10(
+            self._stream_sq_sum / self._stream_n + 1e-20)
+        gain_db = min(self._stream_target_db - rms_db, 300.0)
+        return float(gain_db * np.log(10.0) / 10.0)
+
     def _run_chunk(self, window_feat: np.ndarray) -> np.ndarray:
         """One encoder chunk step on device; returns [T_out, V] probs."""
+        window_feat = window_feat + self._stream_gain_offset()
         if self._state is None:
             if self.use_model == 'deepspeech2':
                 self._state = self.model.init_state(1)
