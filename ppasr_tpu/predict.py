@@ -252,6 +252,45 @@ class PPASRPredictor:
             text = self._inverse_text_normalization(text)
         return {'text': text, 'score': score}
 
+    def predict_batch(self, audio_list, use_pun: bool = False,
+                      is_itn: bool = False, sample_rate: int = 16000):
+        """Batched offline recognition: list of path/bytes/ndarray →
+        list of {'text','score'} (one padded device pass + batch decode)."""
+        feats = []
+        for audio_data in audio_list:
+            audio = self._load_audio(audio_data, sample_rate)
+            feats.append(self.audio_featurizer.featurize(audio))
+        if not feats:
+            return []
+        max_t = max(f.shape[0] for f in feats)
+        bucket = max(self.time_bucket_frames,
+                     int(math.ceil(max_t / self.time_bucket_frames))
+                     * self.time_bucket_frames)
+        batch = np.zeros((len(feats), bucket, feats[0].shape[1]),
+                         np.float32)
+        lens = np.zeros((len(feats),), np.int32)
+        for i, f in enumerate(feats):
+            batch[i, :f.shape[0]] = f
+            lens[i] = f.shape[0]
+        probs, olens = self._predict_fn(self.params, jnp.asarray(batch),
+                                        jnp.asarray(lens))
+        if self._beam_decoder is not None:
+            results = self._beam_decoder.decode_batch(np.asarray(probs),
+                                                      np.asarray(olens))
+        else:
+            from ppasr_tpu.decoders.greedy import greedy_decoder_batch
+            results = greedy_decoder_batch(np.asarray(probs),
+                                           np.asarray(olens),
+                                           self.vocab_list)
+        out = []
+        for score, text in results:
+            if use_pun and text:
+                text = self._restore_punctuation(text)
+            if is_itn and text:
+                text = self._inverse_text_normalization(text)
+            out.append({'text': text, 'score': score})
+        return out
+
     def predict_long(self, audio_data, use_pun: bool = False,
                      is_itn: bool = False, sample_rate: int = 16000):
         """VAD-segmented long-audio recognition (reference

@@ -389,6 +389,12 @@ class PPASRTrainer:
         except Exception:
             pass
 
+        # jax.profiler trace window (SURVEY.md §5.1): set
+        # train_conf.profile_steps: [start, stop] to capture a device trace
+        # into <log_dir>/profile for tensorboard's profile plugin.
+        profile_steps = train_conf.get('profile_steps') or None
+        profiling = False
+
         best_error = float('inf')
         train_times = []
         for epoch in range(last_epoch, max_epoch):
@@ -415,6 +421,19 @@ class PPASRTrainer:
                 }
                 batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch),
                                     batch_axis=1)
+                if profile_steps:
+                    step_now = int(state.step)
+                    if not profiling and step_now >= int(profile_steps[0]) \
+                            and step_now < int(profile_steps[1]):
+                        jax.profiler.start_trace(
+                            os.path.join(log_dir, 'profile'))
+                        profiling = True
+                    elif profiling and step_now >= int(profile_steps[1]):
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        profile_steps = None  # one capture per run
+                        logger.info("profiler trace written to "
+                                    f"{os.path.join(log_dir, 'profile')}")
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, batch, step_rng)
                 batch_cost = time.time() - batch_start
