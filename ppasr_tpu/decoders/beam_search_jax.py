@@ -57,6 +57,10 @@ def init_beam_state(beam_size: int, max_len: int) -> BeamState:
         p_nb=jnp.full((k,), NEG_INF, jnp.float32))
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << (int(x) - 1).bit_length()
+
+
 def _logaddexp(a, b):
     m = jnp.maximum(a, b)
     safe = jnp.where(m > NEG_INF / 2, m, 0.0)
@@ -65,7 +69,8 @@ def _logaddexp(a, b):
 
 
 def _beam_step(state: BeamState, log_row, row, blank, top_n, beam_size,
-               cutoff_prob, lm_bigram, lm_unigram, alpha, beta):
+               cutoff_prob, lm_bigram, lm_unigram, alpha, beta,
+               merge_mode='sort'):
     """One time step for one utterance."""
     k = beam_size
     u_max = state.prefixes.shape[1]
@@ -133,32 +138,55 @@ def _beam_step(state: BeamState, log_row, row, blank, top_n, beam_size,
     pool_hash = jnp.where(alive, pool_hash, jnp.uint32(0xFFFFFFFF))
 
     m = pool_hash.shape[0]
-    # --- merge equal prefixes: sort by hash, segment logsumexp
-    order = jnp.argsort(pool_hash)
-    s_hash = pool_hash[order]
-    s_p_b = pool_p_b[order]
-    s_p_nb = pool_p_nb[order]
-    new_seg = jnp.concatenate([jnp.ones((1,), jnp.int32),
-                               (s_hash[1:] != s_hash[:-1]).astype(jnp.int32)])
-    seg_id = jnp.cumsum(new_seg) - 1                       # [M]
+    if merge_mode == 'sort':
+        # --- exact merge: sort by hash, run-boundary segment logsumexp
+        order = jnp.argsort(pool_hash)
+        s_hash = pool_hash[order]
+        s_p_b = pool_p_b[order]
+        s_p_nb = pool_p_nb[order]
+        new_seg = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32),
+             (s_hash[1:] != s_hash[:-1]).astype(jnp.int32)])
+        seg_id = jnp.cumsum(new_seg) - 1                   # [M]
+        num_segments = m
+        first = new_seg.astype(bool)
+    else:
+        # --- EXPERIMENTAL scatter merge: bucket by hash mod H — O(M)
+        # scatters instead of the O(M log M) bitonic sort. The birthday
+        # bound (≈M²/2H spurious merges per step) makes this lossy at
+        # practical H; kept for experimentation, NOT the default.
+        num_segments = _next_pow2(8 * m)
+        seg_id = (pool_hash % jnp.uint32(num_segments)).astype(jnp.int32)
+        order = None
+        s_p_b, s_p_nb, s_hash = pool_p_b, pool_p_nb, pool_hash
+        # representative = entry with max total in its bucket
+        tot = _logaddexp(pool_p_b, pool_p_nb)
+        bucket_max = jax.ops.segment_max(tot, seg_id,
+                                         num_segments=num_segments)
+        first = tot >= bucket_max[seg_id] - 1e-6
+        # break ties (identical totals) by keeping the lowest index
+        idxs = jnp.arange(m, dtype=jnp.int32)
+        bucket_argmin = jax.ops.segment_min(
+            jnp.where(first, idxs, m), seg_id, num_segments=num_segments)
+        first = idxs == bucket_argmin[seg_id]
 
     def seg_logsumexp(vals):
-        seg_max = jax.ops.segment_max(vals, seg_id, num_segments=m)
-        seg_max = jnp.where(seg_max > NEG_INF / 2, seg_max, 0.0)
-        sums = jax.ops.segment_sum(jnp.exp(vals - seg_max[seg_id]), seg_id,
-                                   num_segments=m)
-        out = seg_max + jnp.log(jnp.maximum(sums, 1e-38))
+        seg_max = jax.ops.segment_max(vals, seg_id,
+                                      num_segments=num_segments)
+        seg_max_safe = jnp.where(seg_max > NEG_INF / 2, seg_max, 0.0)
+        sums = jax.ops.segment_sum(jnp.exp(vals - seg_max_safe[seg_id]),
+                                   seg_id, num_segments=num_segments)
+        out = seg_max_safe + jnp.log(jnp.maximum(sums, 1e-38))
         return jnp.where(sums > 0, out, NEG_INF)
 
     merged_p_b = seg_logsumexp(s_p_b)[seg_id]
     merged_p_nb = seg_logsumexp(s_p_nb)[seg_id]
-    first_of_seg = new_seg.astype(bool)
-    merged_p_b = jnp.where(first_of_seg, merged_p_b, NEG_INF)
-    merged_p_nb = jnp.where(first_of_seg, merged_p_nb, NEG_INF)
+    merged_p_b = jnp.where(first, merged_p_b, NEG_INF)
+    merged_p_nb = jnp.where(first, merged_p_nb, NEG_INF)
 
     merged_tot = _logaddexp(merged_p_b, merged_p_nb)
     top_vals, top_idx = jax.lax.top_k(merged_tot, k)
-    sel = order[top_idx]                                   # pool indices
+    sel = order[top_idx] if order is not None else top_idx  # pool indices
 
     sel_src = pool_src_beam[sel]
     sel_char = pool_ext_char[sel]
@@ -185,22 +213,24 @@ def _beam_step(state: BeamState, log_row, row, blank, top_n, beam_size,
 
 
 @partial(jax.jit, static_argnames=('blank', 'beam_size', 'cutoff_top_n',
-                                   'max_prefix_len'))
+                                   'max_prefix_len', 'merge_mode'))
 def beam_search_step_batch(states: BeamState, probs_t: jnp.ndarray,
                            active: jnp.ndarray, blank: int = 0,
                            beam_size: int = 10, cutoff_top_n: int = 40,
                            cutoff_prob: float = 0.99,
                            lm_bigram=None, lm_unigram=None,
                            alpha: float = 2.2, beta: float = 4.3,
-                           max_prefix_len: int = 0):
+                           max_prefix_len: int = 0,
+                           merge_mode: str = 'sort'):
     """One decode step over the whole batch.
-    probs_t: [B, V]; active: [B] bool (frame < utterance length)."""
+    probs_t: [B, V]; active: [B] bool (frame < utterance length).
+    merge_mode: 'scatter' (hash-table merge, fast) | 'sort' (exact)."""
     log_row = jnp.log(jnp.maximum(probs_t, 1e-30))
 
     def one(state, row, lrow, act):
         new = _beam_step(state, lrow, row, blank, cutoff_top_n,
                          beam_size, cutoff_prob, lm_bigram, lm_unigram,
-                         alpha, beta)
+                         alpha, beta, merge_mode)
         return jax.tree.map(lambda n, o: jnp.where(
             jnp.reshape(act, (1,) * n.ndim), n, o), new, state)
 
@@ -241,7 +271,8 @@ def ctc_beam_search_jax(probs: jnp.ndarray, lens: jnp.ndarray,
                         lm_bigram=None, lm_unigram=None,
                         alpha: float = 2.2, beta: float = 4.3,
                         max_prefix_len: Optional[int] = None,
-                        blank_skip_threshold: float = 1.0):
+                        blank_skip_threshold: float = 1.0,
+                        merge_mode: str = 'sort'):
     """Batch offline decode: [B, T, V] probs + [B] lens → BeamState batch.
 
     The scan runs fully on device; convert with ``beam_state_to_results``.
@@ -263,7 +294,8 @@ def ctc_beam_search_jax(probs: jnp.ndarray, lens: jnp.ndarray,
             states, probs_t, active, blank=blank, beam_size=beam_size,
             cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob,
             lm_bigram=lm_bigram, lm_unigram=lm_unigram,
-            alpha=alpha, beta=beta, max_prefix_len=max_prefix_len)
+            alpha=alpha, beta=beta, max_prefix_len=max_prefix_len,
+            merge_mode=merge_mode)
         return new, None
 
     final, _ = jax.lax.scan(
@@ -295,7 +327,8 @@ class JaxBeamSearchDecoder:
                  cutoff_top_n: int = 40, blank_index: int = 0,
                  language_model_path: str = None,
                  max_prefix_len: int = 512,
-                 blank_skip_threshold: float = 0.98, **_):
+                 blank_skip_threshold: float = 0.98,
+                 merge_mode: str = 'sort', **_):
         self.vocab_list = list(vocab_list)
         self.alpha = alpha
         self.beta = beta
@@ -305,6 +338,7 @@ class JaxBeamSearchDecoder:
         self.blank_index = blank_index
         self.max_prefix_len = max_prefix_len
         self.blank_skip_threshold = blank_skip_threshold
+        self.merge_mode = merge_mode
         self.lm_unigram = None
         self.lm_bigram = None
         if language_model_path:
@@ -352,7 +386,8 @@ class JaxBeamSearchDecoder:
                     cutoff_prob=self.cutoff_prob,
                     lm_bigram=self.lm_bigram, lm_unigram=self.lm_unigram,
                     alpha=self.alpha, beta=self.beta,
-                    max_prefix_len=self.max_prefix_len)
+                    max_prefix_len=self.max_prefix_len,
+                    merge_mode=self.merge_mode)
             self._jit_decode = jax.jit(run)
 
             def compact(probs, lens):
@@ -408,7 +443,8 @@ class JaxBeamSearchDecoder:
                         lm_bigram=self.lm_bigram,
                         lm_unigram=self.lm_unigram,
                         alpha=self.alpha, beta=self.beta,
-                        max_prefix_len=self.max_prefix_len)
+                        max_prefix_len=self.max_prefix_len,
+                        merge_mode=self.merge_mode)
                 self._jit_continue = jax.jit(cont)
             # pad the chunk to a 16-frame bucket so one compiled program
             # serves every chunk; padded frames are masked via lens
