@@ -38,6 +38,8 @@ add_arg('use_pun', bool, False, 'restore punctuation')
 add_arg('is_itn', bool, False, 'inverse text normalization')
 add_arg('save_audio_dir', str, 'dataset/upload_audio',
         'where uploaded/streamed audio is saved')
+add_arg('max_streams', int, 16,
+        'concurrent websocket streams (batched on one device state)')
 args = parser.parse_args()
 
 predictor = None
@@ -130,34 +132,40 @@ class Handler(BaseHTTPRequestHandler):
             _json_response(self, {'code': 2, 'msg': str(e)}, 500)
 
 
+streaming_engine = None
+
+
 async def ws_handler(websocket):
     """Streaming protocol (reference infer_server.py:103-156): binary PCM
-    frames in, JSON {code, result} out; b'end' finishes the utterance."""
-    logger.info("websocket client connected")
-    with predictor_lock:
-        predictor.reset_stream()
+    frames in, JSON {code, result} out; b'end' finishes the utterance.
+    Concurrent connections each get a slot in the batched
+    StreamingBatchEngine — one shared device state, no serialization."""
+    slot = streaming_engine.open_stream()
+    if slot is None:
+        await websocket.send(json.dumps(
+            {'code': 3, 'msg': 'server at capacity'}))
+        return
+    logger.info(f"websocket client connected (slot {slot})")
     try:
         async for message in websocket:
             if isinstance(message, str):
                 message = message.encode()
             is_end = message == b'end'
             with predictor_lock:
-                if is_end:
-                    result = predictor.predict_stream(
-                        b'', is_end=True, use_pun=args.use_pun,
-                        is_itn=args.is_itn)
-                else:
-                    result = predictor.predict_stream(
-                        message, is_end=False, use_pun=args.use_pun,
-                        is_itn=args.is_itn)
-            await websocket.send(json.dumps(
-                {'code': 0, 'result': result['text']}, ensure_ascii=False))
-            if is_end:
+                result = streaming_engine.feed(
+                    slot, b'' if is_end else message, is_end=is_end)
+            text = result['text']
+            if args.use_pun and text:
                 with predictor_lock:
-                    predictor.reset_stream()
+                    text = predictor._restore_punctuation(text)
+            await websocket.send(json.dumps(
+                {'code': 0, 'result': text}, ensure_ascii=False))
+            if is_end:
+                streaming_engine.close_stream(slot)
+                slot = streaming_engine.open_stream()
     finally:
-        with predictor_lock:
-            predictor.reset_stream()
+        if slot is not None:
+            streaming_engine.close_stream(slot)
         logger.info("websocket client disconnected")
 
 
@@ -173,6 +181,10 @@ if __name__ == '__main__':
     predictor = PPASRPredictor(configs=args.configs,
                                model_path=args.model_path,
                                decoder=args.decoder, use_pun=args.use_pun)
+    if predictor.streaming:
+        from ppasr_tpu.serving import StreamingBatchEngine
+        streaming_engine = StreamingBatchEngine(
+            predictor, max_streams=args.max_streams)
     httpd = ThreadingHTTPServer((args.host, args.port), Handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     logger.info(f"HTTP endpoints on http://{args.host}:{args.port}"

@@ -94,11 +94,14 @@ class MultiHeadedAttention(nn.Module):
         if self.rel_pos:
             assert pos_emb is not None
             p = self.linear_pos(pos_emb).reshape(
-                pos_emb.shape[0], -1, self.n_head, self.d_k)  # [1, S, H, dk]
+                pos_emb.shape[0], -1, self.n_head, self.d_k)  # [1|B, S, H, dk]
             q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
             q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
             matrix_ac = jnp.einsum('bthd,bshd->bhts', q_u, k)
-            matrix_bd = jnp.einsum('bthd,ushd->bhts', q_v, p)
+            # pos_emb is [1, S, D] offline (shared) or [B, S, D] streaming
+            # (per-stream offsets)
+            pos_spec = 'ushd' if p.shape[0] == 1 else 'bshd'
+            matrix_bd = jnp.einsum(f'bthd,{pos_spec}->bhts', q_v, p)
             scores = (matrix_ac + matrix_bd) / math.sqrt(self.d_k)
         else:
             scores = jnp.einsum('bthd,bshd->bhts', q, k) / math.sqrt(self.d_k)

@@ -143,7 +143,8 @@ class ConformerModel(nn.Module):
         dk = output_size // heads
         z = jnp.zeros
         return StreamingState(
-            offset=z((), jnp.int32), cache_len=z((), jnp.int32),
+            offset=z((batch_size,), jnp.int32),
+            cache_len=z((batch_size,), jnp.int32),
             att_k=z((num_blocks, batch_size, cache_size, heads, dk),
                     self.dtype),
             att_v=z((num_blocks, batch_size, cache_size, heads, dk),

@@ -43,9 +43,11 @@ from ppasr_tpu.ops.masks import add_optional_chunk_mask, make_non_pad_mask
 
 
 class StreamingState(NamedTuple):
-    """Device-resident per-stream encoder state."""
-    offset: jnp.ndarray     # int32 scalar
-    cache_len: jnp.ndarray  # int32 scalar
+    """Device-resident per-stream encoder state. ``offset``/``cache_len``
+    are PER-STREAM vectors so a batched engine can serve streams that
+    started at different times (each element positions its own cache)."""
+    offset: jnp.ndarray     # [B] int32
+    cache_len: jnp.ndarray  # [B] int32
     att_k: jnp.ndarray      # [L, B, C, H, dk]
     att_v: jnp.ndarray      # [L, B, C, H, dk]
     cnn_cache: jnp.ndarray  # [L, B, lorder, D]
@@ -263,8 +265,8 @@ class ConformerEncoder(nn.Module):
         lorder = self.cnn_module_kernel - 1 if self.causal else 0
         z = jnp.zeros
         return StreamingState(
-            offset=jnp.zeros((), jnp.int32),
-            cache_len=jnp.zeros((), jnp.int32),
+            offset=jnp.zeros((batch_size,), jnp.int32),
+            cache_len=jnp.zeros((batch_size,), jnp.int32),
             att_k=z((self.num_blocks, batch_size, cache_size, h, dk),
                     self.dtype),
             att_v=z((self.num_blocks, batch_size, cache_size, h, dk),
@@ -286,19 +288,24 @@ class ConformerEncoder(nn.Module):
         t_out = xs.shape[1]
         s = c + t_out
 
-        # positions for key slot j are offset − C + j; the table is
-        # left-padded by C so the slice start is simply `offset`.
+        # positions for key slot j are offset_b − C + j; the table is
+        # left-padded by C so each stream's slice start is its own offset.
         pe = self._pos_table(left_pad=c)
-        pos_emb = jax.lax.dynamic_slice(
-            pe, (state.offset, jnp.zeros((), jnp.int32)),
-            (s, self.output_size))[None]
+        offsets = jnp.broadcast_to(
+            jnp.asarray(state.offset, jnp.int32).reshape(-1),
+            (xs.shape[0],))
+        pos_emb = jax.vmap(lambda off: jax.lax.dynamic_slice(
+            pe, (off, jnp.zeros((), jnp.int32)),
+            (s, self.output_size)))(offsets)      # [B, S, D]
         xs, pos_emb = self._apply_pos(xs, pos_emb)
 
-        # key slot j valid iff j ≥ C − cache_len (cache right-aligned) or in
-        # the current chunk
+        # key slot j valid iff j ≥ C − cache_len_b (cache right-aligned) or
+        # in the current chunk
         j = jnp.arange(s, dtype=jnp.int32)[None, None, :]
-        att_mask = j >= (c - state.cache_len)  # [1, 1, S]
-        att_mask = jnp.broadcast_to(att_mask, (xs.shape[0], 1, s))
+        cache_len = jnp.broadcast_to(
+            jnp.asarray(state.cache_len, jnp.int32).reshape(-1),
+            (xs.shape[0],))
+        att_mask = j >= (c - cache_len)[:, None, None]  # [B, 1, S]
 
         new_k, new_v, new_cnn = [], [], []
         for i, layer in enumerate(self.layers):

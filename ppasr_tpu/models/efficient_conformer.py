@@ -39,8 +39,8 @@ from ppasr_tpu.ops.masks import add_optional_chunk_mask, make_non_pad_mask
 
 
 class EffConState(NamedTuple):
-    offset: jnp.ndarray
-    cache_len: jnp.ndarray
+    offset: jnp.ndarray      # [B] int32 (per-stream)
+    cache_len: jnp.ndarray   # [B] int32
     att_k: Tuple[jnp.ndarray, ...]   # layer i: [B, C//factor(i), H, dk]
     att_v: Tuple[jnp.ndarray, ...]
     cnn_cache: Tuple[jnp.ndarray, ...]  # layer i: [B, lorder_i, D]
@@ -125,8 +125,8 @@ class GroupedRelPositionAttention(nn.Module):
             v = jnp.concatenate([v_cache, v], axis=1)
         new_cache = (k, v)
 
-        p = self.linear_pos(pos_emb)  # [1, S, D]
-        p = p.reshape(1, -1, self.n_head, self.d_k)
+        p = self.linear_pos(pos_emb)  # [1|B, S, D]
+        p = p.reshape(pos_emb.shape[0], -1, self.n_head, self.d_k)
 
         q, pad_q = self._pad_time(q, g)
         k, _ = self._pad_time(k, g)
@@ -140,7 +140,8 @@ class GroupedRelPositionAttention(nn.Module):
         q_u = qg + self.pos_bias_u.astype(qg.dtype)[None, None]
         q_v = qg + self.pos_bias_v.astype(qg.dtype)[None, None]
         matrix_ac = jnp.einsum('bthd,bshd->bhts', q_u, kg)
-        matrix_bd = jnp.einsum('bthd,ushd->bhts', q_v, pg)
+        pos_spec = 'ushd' if pg.shape[0] == 1 else 'bshd'
+        matrix_bd = jnp.einsum(f'bthd,{pos_spec}->bhts', q_v, pg)
         scores = (matrix_ac + matrix_bd) / math.sqrt(self.d_k * g)
 
         if mask is not None:
@@ -508,8 +509,8 @@ class EfficientConformerEncoder(nn.Module):
                                  self.dtype))
             if i in stride_idx:
                 seg += 1
-        return EffConState(offset=jnp.zeros((), jnp.int32),
-                           cache_len=jnp.zeros((), jnp.int32),
+        return EffConState(offset=jnp.zeros((batch_size,), jnp.int32),
+                           cache_len=jnp.zeros((batch_size,), jnp.int32),
                            att_k=tuple(att_k), att_v=tuple(att_v),
                            cnn_cache=tuple(cnn))
 
@@ -522,9 +523,12 @@ class EfficientConformerEncoder(nn.Module):
         xs = xs * jnp.asarray(np.sqrt(self.output_size), self.dtype)
 
         pe = self._pos_table(left_pad=c)
-        pos_base = jax.lax.dynamic_slice(
-            pe, (state.offset, jnp.zeros((), jnp.int32)),
-            (s, self.output_size))[None]
+        offsets = jnp.broadcast_to(
+            jnp.asarray(state.offset, jnp.int32).reshape(-1),
+            (xs.shape[0],))
+        pos_base = jax.vmap(lambda off: jax.lax.dynamic_slice(
+            pe, (off, jnp.zeros((), jnp.int32)),
+            (s, self.output_size)))(offsets)      # [B, S, D]
 
         stride_idx = _as_list(self.stride_layer_idx)
         strides = _as_list(self.stride)
@@ -539,10 +543,12 @@ class EfficientConformerEncoder(nn.Module):
             s_i = c_i + t_i
             pos_i = pos_base[:, ::f, :][:, -s_i:, :] if f > 1 \
                 else pos_base[:, -s_i:, :]
-            cache_len_i = jnp.minimum(state.cache_len // f, c_i)
+            cache_len_i = jnp.minimum(
+                jnp.broadcast_to(
+                    jnp.asarray(state.cache_len, jnp.int32).reshape(-1),
+                    (cur.shape[0],)) // f, c_i)
             j = jnp.arange(s_i, dtype=jnp.int32)[None, None, :]
-            att_mask = jnp.broadcast_to(j >= (c_i - cache_len_i),
-                                        (cur.shape[0], 1, s_i))
+            att_mask = j >= (c_i - cache_len_i)[:, None, None]
             cur, (k_all, v_all), cnn_c = layer(
                 cur, att_mask, pos_i, mask_pad=None,
                 kv_cache=(state.att_k[i], state.att_v[i]),
@@ -700,8 +706,8 @@ class EfficientConformerModel(nn.Module):
             cnn.append(jnp.zeros((batch_size, lorder, dim), self.dtype))
             if i in stride_idx:
                 seg += 1
-        return EffConState(offset=jnp.zeros((), jnp.int32),
-                           cache_len=jnp.zeros((), jnp.int32),
+        return EffConState(offset=jnp.zeros((batch_size,), jnp.int32),
+                           cache_len=jnp.zeros((batch_size,), jnp.int32),
                            att_k=tuple(att_k), att_v=tuple(att_v),
                            cnn_cache=tuple(cnn))
 

@@ -41,8 +41,8 @@ from ppasr_tpu.ops.masks import add_optional_chunk_mask, make_non_pad_mask
 
 class SqueezeformerState(NamedTuple):
     """Streaming state: per-layer caches at each layer's own time scale."""
-    offset: jnp.ndarray            # int32, base-scale frames consumed
-    cache_len: jnp.ndarray         # int32, base-scale valid cache frames
+    offset: jnp.ndarray            # [B] int32, base-scale frames consumed
+    cache_len: jnp.ndarray         # [B] int32, base-scale valid cache frames
     att_k: Tuple[jnp.ndarray, ...]  # layer i: [B, C // factor(i), H, dk]
     att_v: Tuple[jnp.ndarray, ...]
     cnn_cache: Tuple[jnp.ndarray, ...]  # layer i: [B, lorder, D]
@@ -375,8 +375,8 @@ class SqueezeformerEncoder(nn.Module):
             cnn.append(jnp.zeros((batch_size, lorder, self.encoder_dim),
                                  self.dtype))
         return SqueezeformerState(
-            offset=jnp.zeros((), jnp.int32),
-            cache_len=jnp.zeros((), jnp.int32),
+            offset=jnp.zeros((batch_size,), jnp.int32),
+            cache_len=jnp.zeros((batch_size,), jnp.int32),
             att_k=tuple(att_k), att_v=tuple(att_v), cnn_cache=tuple(cnn))
 
     def forward_chunk(self, xs, state: SqueezeformerState):
@@ -387,11 +387,15 @@ class SqueezeformerEncoder(nn.Module):
         t_out = xs.shape[1]
         s = c + t_out
 
-        # base-scale positions, left-padded table so slice start = offset
+        # base-scale per-stream positions, left-padded table so each slice
+        # start is that stream's offset
         pe = self._pos_table(left_pad=c)
-        pos_base = jax.lax.dynamic_slice(
-            pe, (state.offset, jnp.zeros((), jnp.int32)),
-            (s, self.encoder_dim))[None]
+        offsets = jnp.broadcast_to(
+            jnp.asarray(state.offset, jnp.int32).reshape(-1),
+            (xs.shape[0],))
+        pos_base = jax.vmap(lambda off: jax.lax.dynamic_slice(
+            pe, (off, jnp.zeros((), jnp.int32)),
+            (s, self.encoder_dim)))(offsets)      # [B, S, D]
 
         xs = self.preln(xs)
         reduce_idx = self._reduce_idx() or []
@@ -422,10 +426,12 @@ class SqueezeformerEncoder(nn.Module):
             # aligned to its tail
             pos_i = pos_base[:, ::f, :][:, -(s_i):, :] if f > 1 \
                 else pos_base[:, -(s_i):, :]
-            cache_len_i = jnp.minimum(state.cache_len // f, c_i)
+            cache_len_i = jnp.minimum(
+                jnp.broadcast_to(
+                    jnp.asarray(state.cache_len, jnp.int32).reshape(-1),
+                    (cur.shape[0],)) // f, c_i)
             j = jnp.arange(s_i, dtype=jnp.int32)[None, None, :]
-            att_mask = jnp.broadcast_to(j >= (c_i - cache_len_i),
-                                        (cur.shape[0], 1, s_i))
+            att_mask = j >= (c_i - cache_len_i)[:, None, None]
 
             cur, (k_all, v_all), cnn_c = layer(
                 cur, att_mask, pos_i, mask_pad=None,
@@ -577,8 +583,8 @@ class SqueezeformerModel(nn.Module):
             att_v.append(jnp.zeros((batch_size, c_i, heads, dk), self.dtype))
             cnn.append(jnp.zeros((batch_size, lorder, dim), self.dtype))
         return SqueezeformerState(
-            offset=jnp.zeros((), jnp.int32),
-            cache_len=jnp.zeros((), jnp.int32),
+            offset=jnp.zeros((batch_size,), jnp.int32),
+            cache_len=jnp.zeros((batch_size,), jnp.int32),
             att_k=tuple(att_k), att_v=tuple(att_v), cnn_cache=tuple(cnn))
 
     @property
