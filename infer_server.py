@@ -81,7 +81,14 @@ class Handler(BaseHTTPRequestHandler):
             path = os.path.join(root, 'templates', 'index.html')
             ctype = 'text/html; charset=utf-8'
         elif self.path.startswith('/static/'):
-            path = os.path.join(root, self.path.lstrip('/'))
+            # containment check: refuse traversal out of static/
+            static_root = os.path.realpath(os.path.join(root, 'static'))
+            path = os.path.realpath(
+                os.path.join(static_root, self.path[len('/static/'):]))
+            if not path.startswith(static_root + os.sep):
+                self.send_response(403)
+                self.end_headers()
+                return
             ctype = 'application/javascript' if path.endswith('.js') \
                 else 'application/octet-stream'
         else:
@@ -151,9 +158,9 @@ async def ws_handler(websocket):
             if isinstance(message, str):
                 message = message.encode()
             is_end = message == b'end'
-            with predictor_lock:
-                result = streaming_engine.feed(
-                    slot, b'' if is_end else message, is_end=is_end)
+            # the engine has its own internal lock; no predictor_lock needed
+            result = streaming_engine.feed(
+                slot, b'' if is_end else message, is_end=is_end)
             text = result['text']
             if args.use_pun and text:
                 with predictor_lock:
@@ -163,6 +170,10 @@ async def ws_handler(websocket):
             if is_end:
                 streaming_engine.close_stream(slot)
                 slot = streaming_engine.open_stream()
+                if slot is None:
+                    await websocket.send(json.dumps(
+                        {'code': 3, 'msg': 'server at capacity'}))
+                    break
     finally:
         if slot is not None:
             streaming_engine.close_stream(slot)

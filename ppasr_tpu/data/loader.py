@@ -38,13 +38,31 @@ class DataLoader:
         _SENTINEL = object()
 
         def producer():
+            # bounded submission: at most workers+prefetch futures in
+            # flight — Executor.map would eagerly submit the WHOLE epoch
+            # and pin every collated batch in RAM when featurization
+            # outruns the consumer; it also couldn't stop early
+            from collections import deque
+            max_inflight = self.num_workers + self.prefetch
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 try:
-                    for out in pool.map(self._load_batch,
-                                        iter(self.batch_sampler)):
-                        if stop.is_set():
+                    pending = deque()
+                    it = iter(self.batch_sampler)
+                    exhausted = False
+                    while not stop.is_set():
+                        while not exhausted and len(pending) < max_inflight:
+                            try:
+                                indices = next(it)
+                            except StopIteration:
+                                exhausted = True
+                                break
+                            pending.append(
+                                pool.submit(self._load_batch, indices))
+                        if not pending:
                             break
-                        q.put(out)
+                        q.put(pending.popleft().result())
+                    for f in pending:
+                        f.cancel()
                 finally:
                     q.put(_SENTINEL)
 

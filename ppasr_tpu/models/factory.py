@@ -17,6 +17,15 @@ def _load_cmvn(mean_istd_path):
             data = json.load(f)
         return tuple(np.float32(v) for v in data['mean']), \
             tuple(np.float32(v) for v in data['istd'])
+    if mean_istd_path:
+        # a model trained WITH GlobalCMVN produces garbage without it, and
+        # the parameter trees are identical (CMVN holds constants, not
+        # params) — so a silent fallback would load cleanly and mis-predict
+        import logging
+        logging.getLogger(__name__).warning(
+            f"mean_istd file not found: {mean_istd_path} — building the "
+            f"model WITHOUT CMVN; if the checkpoint was trained with CMVN "
+            f"every prediction will be wrong")
     return None, None
 
 

@@ -68,7 +68,15 @@ class PPASRPredictor:
         self.input_dim = infer_conf['input_dim']
         self.vocab_size = infer_conf['vocab_size']
         self.time_bucket_frames = time_bucket_frames
+        self._pun_model_dir = pun_model_dir
 
+        # prefer artifact-bundled CMVN/vocab (export copies them in)
+        bundled_istd = os.path.join(model_path, 'mean_istd.json')
+        bundled_vocab = os.path.join(model_path, 'vocabulary.txt')
+        if mean_istd_path is None and os.path.exists(bundled_istd):
+            mean_istd_path = bundled_istd
+        if vocab_path is None and os.path.exists(bundled_vocab):
+            vocab_path = bundled_vocab
         if self.configs is not None:
             preprocess_conf = dict(self.configs.preprocess_conf)
             dataset_conf = self.configs.dataset_conf
@@ -457,7 +465,10 @@ class PPASRPredictor:
         try:
             from ppasr_tpu.infer_utils.pun_predictor import PunctuationPredictor
             if not hasattr(self, '_pun_predictor'):
-                self._pun_predictor = PunctuationPredictor()
+                kwargs = {}
+                if getattr(self, '_pun_model_dir', None):
+                    kwargs['model_dir'] = self._pun_model_dir
+                self._pun_predictor = PunctuationPredictor(**kwargs)
             return self._pun_predictor(text)
         except Exception as e:
             logger.warning(f"punctuation restoration unavailable: {e}")

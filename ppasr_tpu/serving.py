@@ -108,15 +108,19 @@ class StreamingBatchEngine:
     # -------------------------------------------------------------- lifecycle
 
     def open_stream(self) -> Optional[int]:
+        # the engine lock guards BOTH slot bookkeeping and _batch_state:
+        # _zero_slot and _tick each read-modify-write the state tree, so
+        # they must be mutually exclusive or a concurrent open would
+        # clobber another stream's in-flight cache update
         with self._lock:
             if not self._free:
                 return None
             slot = self._free.pop()
-        self._buffers[slot] = None
-        self._wav_tail[slot] = np.zeros(0, np.float32)
-        self._decoders[slot] = GreedyStreamingDecoder(self.p.vocab_list)
-        self._gain[slot] = [0.0, 0]
-        self._zero_slot(slot)
+            self._buffers[slot] = None
+            self._wav_tail[slot] = np.zeros(0, np.float32)
+            self._decoders[slot] = GreedyStreamingDecoder(self.p.vocab_list)
+            self._gain[slot] = [0.0, 0]
+            self._zero_slot(slot)
         return slot
 
     def close_stream(self, slot: int):
@@ -124,7 +128,8 @@ class StreamingBatchEngine:
             for d in (self._buffers, self._wav_tail, self._decoders,
                       self._gain):
                 d.pop(slot, None)
-            self._free.append(slot)
+            if slot not in self._free:
+                self._free.append(slot)
 
     def _zero_slot(self, slot: int):
         axes = self.stream_axes(self._batch_state)
@@ -150,23 +155,27 @@ class StreamingBatchEngine:
         if audio.sample_rate != 16000:
             audio.resample(16000)
         s = audio.samples
-        if len(s):
-            self._gain[slot][0] += float(np.sum(s.astype(np.float64) ** 2))
-            self._gain[slot][1] += len(s)
-        self._wav_tail[slot] = np.concatenate([self._wav_tail[slot], s])
+        with self._lock:
+            if slot not in self._gain:
+                raise KeyError(f"stream slot {slot} is not open")
+            if len(s):
+                self._gain[slot][0] += float(
+                    np.sum(s.astype(np.float64) ** 2))
+                self._gain[slot][1] += len(s)
+            self._wav_tail[slot] = np.concatenate([self._wav_tail[slot], s])
 
-        if len(self._wav_tail[slot]) >= 400:
-            seg = AudioSegment(self._wav_tail[slot].copy(), 16000)
-            feat = self.p.stream_featurizer.featurize(seg)
-            t = feat.shape[0]
-            if t > 0:
-                self._wav_tail[slot] = self._wav_tail[slot][t * 160:]
-                buf = self._buffers[slot]
-                self._buffers[slot] = feat if buf is None \
-                    else np.concatenate([buf, feat])
+            if len(self._wav_tail[slot]) >= 400:
+                seg = AudioSegment(self._wav_tail[slot].copy(), 16000)
+                feat = self.p.stream_featurizer.featurize(seg)
+                t = feat.shape[0]
+                if t > 0:
+                    self._wav_tail[slot] = self._wav_tail[slot][t * 160:]
+                    buf = self._buffers[slot]
+                    self._buffers[slot] = feat if buf is None \
+                        else np.concatenate([buf, feat])
 
-        self._tick(flush_slot=slot if is_end else None)
-        score, text = self._decoders[slot].current()
+            self._tick(flush_slot=slot if is_end else None)
+            score, text = self._decoders[slot].current()
         return {'text': text, 'score': score}
 
     # ------------------------------------------------------------------ tick

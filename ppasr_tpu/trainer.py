@@ -395,7 +395,22 @@ class PPASRTrainer:
         profile_steps = train_conf.get('profile_steps') or None
         profiling = False
 
+        # restore the best metric across resumes so a worse first epoch
+        # after restart cannot overwrite best_model
         best_error = float('inf')
+        best_state_path = os.path.join(self._save_dir(save_model_path),
+                                       'best_model', 'model.state')
+        if os.path.exists(best_state_path):
+            try:
+                with open(best_state_path, 'r', encoding='utf-8') as f:
+                    meta = json.load(f)
+                best_error = meta.get('test_cer',
+                                      meta.get('test_wer', float('inf')))
+                if best_error is None:
+                    best_error = float('inf')
+            except Exception:
+                pass
+
         train_times = []
         for epoch in range(last_epoch, max_epoch):
             sampler.set_epoch(epoch)
@@ -544,14 +559,24 @@ class PPASRTrainer:
         loader = DataLoader(test_dataset, sampler, num_workers=2,
                             shuffle_in_batch=False)
 
-        eval_fn = jax.jit(lambda p, s, l: model.apply(
-            p, s, l, method='get_encoder_out'))
-        loss_fn = jax.jit(lambda p, s, l, t, tl: model.apply(
-            p, s, l, t, tl, deterministic=True)['loss'])
+        # cache the jitted eval programs on the trainer: evaluate() runs
+        # once per epoch and fresh lambdas would force a full retrace each
+        # time (compiles cost minutes through the device tunnel)
+        if getattr(self, '_eval_model', None) is not model:
+            self._eval_model = model
+            self._eval_fn = jax.jit(lambda p, s, l: model.apply(
+                p, s, l, method='get_encoder_out'))
+            self._eval_loss_fn = jax.jit(lambda p, s, l, t, tl: model.apply(
+                p, s, l, t, tl, deterministic=True)['loss'])
+            self._eval_decoder = None
+        eval_fn = self._eval_fn
+        loss_fn = self._eval_loss_fn
 
         metrics_type = self.configs.get('metrics_type', 'cer')
         error_fn = cer if metrics_type == 'cer' else wer
-        decoder = self._build_eval_decoder(vocab)
+        if self._eval_decoder is None:
+            self._eval_decoder = self._build_eval_decoder(vocab)
+        decoder = self._eval_decoder
         errors, losses = [], []
         for i, (inputs, labels, in_lens, lab_lens) in enumerate(loader):
             if max_batches is not None and i >= max_batches:
@@ -601,6 +626,13 @@ class PPASRTrainer:
                                          state)
         infer_dir = os.path.join(self._save_dir(save_model_path), 'infer')
         os.makedirs(infer_dir, exist_ok=True)
+        # bundle CMVN stats + vocab so the artifact is self-contained
+        # (serving hosts don't have the training workspace)
+        for src in [self.configs.dataset_conf.mean_istd_path,
+                    self.configs.dataset_conf.dataset_vocab]:
+            if src and os.path.exists(src):
+                shutil.copy(src, os.path.join(infer_dir,
+                                              os.path.basename(src)))
         host_params = jax.device_get(state.params)
         with open(os.path.join(infer_dir, 'model.msgpack'), 'wb') as f:
             f.write(serialization.to_bytes(host_params))
