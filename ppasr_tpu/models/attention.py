@@ -34,12 +34,20 @@ class MultiHeadedAttention(nn.Module):
     # squeezeformer variant's linear_pos also carries a bias.
     adaptive_scale: bool = False
     pos_bias: bool = False
+    # Squeezeformer scale-aware init: all projections ±n_feat^-0.5
+    # (reference squeezeformer/attention.py init_weights) — post-LN needs it
+    init_weights: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         assert self.n_feat % self.n_head == 0
         self.d_k = self.n_feat // self.n_head
-        d = dict(kernel_init=kaiming_uniform, dtype=self.dtype)
+        if self.init_weights:
+            from ppasr_tpu.models.base import symmetric_uniform
+            init = symmetric_uniform(self.n_feat ** -0.5)
+            d = dict(kernel_init=init, bias_init=init, dtype=self.dtype)
+        else:
+            d = dict(kernel_init=kaiming_uniform, dtype=self.dtype)
         self.linear_q = nn.Dense(self.n_feat, **d)
         self.linear_k = nn.Dense(self.n_feat, **d)
         self.linear_v = nn.Dense(self.n_feat, **d)

@@ -12,6 +12,16 @@ kaiming_uniform = nn.initializers.variance_scaling(
     2.0, "fan_in", "uniform")
 
 
+def symmetric_uniform(scale: float):
+    """Uniform(−scale, scale) initializer — the Squeezeformer paper's
+    scale-aware init (reference squeezeformer/*.py init_weights), required
+    for stable POST-LayerNorm training."""
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+    return init
+
+
 def get_activation(name: str):
     """Activation registry (reference common.py:189-205, incl. swish/gelu)."""
     acts = {

@@ -26,6 +26,9 @@ class ConvolutionModule(nn.Module):
     # Squeezeformer adaptive scale on the module input (reference
     # squeezeformer/convolution.py:26-105)
     adaptive_scale: bool = False
+    # Squeezeformer scale-aware init: pointwise ±channels^-0.5, depthwise
+    # ±kernel^-0.5 (reference convolution.py init_weights)
+    init_weights: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -61,17 +64,25 @@ class ConvolutionModule(nn.Module):
             new_cache = jnp.zeros((x.shape[0], 0, x.shape[2]), x.dtype)
             dw_padding = 'SAME'
 
+        if self.init_weights:
+            from ppasr_tpu.models.base import symmetric_uniform
+            pw_init = symmetric_uniform(self.channels ** -0.5)
+            dw_init = symmetric_uniform(self.kernel_size ** -0.5)
+            pw = dict(kernel_init=pw_init, bias_init=pw_init)
+            dw = dict(kernel_init=dw_init, bias_init=dw_init)
+        else:
+            pw = dw = dict(kernel_init=kaiming_uniform)
+
         # pointwise 1 + GLU (runs over the padded frames, matching the
         # reference which pads the raw input before pointwise_conv1)
-        y = nn.Dense(2 * self.channels, kernel_init=kaiming_uniform,
-                     dtype=self.dtype, name='pointwise_conv1')(x_padded)
+        y = nn.Dense(2 * self.channels, dtype=self.dtype,
+                     name='pointwise_conv1', **pw)(x_padded)
         a, b = jnp.split(y, 2, axis=-1)
         y = a * nn.sigmoid(b)
 
         y = nn.Conv(self.channels, (self.kernel_size,), padding=dw_padding,
-                    feature_group_count=self.channels,
-                    kernel_init=kaiming_uniform, dtype=self.dtype,
-                    name='depthwise_conv')(y)
+                    feature_group_count=self.channels, dtype=self.dtype,
+                    name='depthwise_conv', **dw)(y)
 
         if self.norm == 'layer_norm':
             y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm')(y)
@@ -80,8 +91,8 @@ class ConvolutionModule(nn.Module):
                              momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              name='norm')(y)
         y = self.activation(y)
-        y = nn.Dense(self.channels, kernel_init=kaiming_uniform,
-                     dtype=self.dtype, name='pointwise_conv2')(y)
+        y = nn.Dense(self.channels, dtype=self.dtype,
+                     name='pointwise_conv2', **pw)(y)
 
         if mask_pad is not None:
             y = jnp.where(mask_pad.transpose(0, 2, 1), y, 0.0)

@@ -3,7 +3,7 @@ ppasr/model_utils/conformer/positionwise.py:7-39)."""
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ppasr_tpu.models.base import kaiming_uniform
+from ppasr_tpu.models.base import kaiming_uniform, symmetric_uniform
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -14,6 +14,9 @@ class PositionwiseFeedForward(nn.Module):
     # Squeezeformer adaptive scale on the module input (reference
     # squeezeformer/positionwise.py:29-55)
     adaptive_scale: bool = False
+    # Squeezeformer scale-aware init: w_1 ±idim^-0.5, w_2 ±hidden^-0.5
+    # (reference positionwise.py init_weights) — needed for post-LN
+    init_weights: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -24,9 +27,15 @@ class PositionwiseFeedForward(nn.Module):
             bias = self.param('ada_bias', nn.initializers.zeros,
                               (1, 1, self.idim)).astype(x.dtype)
             x = scale * x + bias
-        x = nn.Dense(self.hidden_units, kernel_init=kaiming_uniform,
-                     dtype=self.dtype, name='w_1')(x)
+        if self.init_weights:
+            w1_init = symmetric_uniform(self.idim ** -0.5)
+            w2_init = symmetric_uniform(self.hidden_units ** -0.5)
+            w1 = dict(kernel_init=w1_init, bias_init=w1_init)
+            w2 = dict(kernel_init=w2_init, bias_init=w2_init)
+        else:
+            w1 = w2 = dict(kernel_init=kaiming_uniform)
+        x = nn.Dense(self.hidden_units, dtype=self.dtype, name='w_1',
+                     **w1)(x)
         x = self.activation(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        return nn.Dense(self.idim, kernel_init=kaiming_uniform,
-                        dtype=self.dtype, name='w_2')(x)
+        return nn.Dense(self.idim, dtype=self.dtype, name='w_2', **w2)(x)

@@ -148,7 +148,7 @@ class SqueezeformerEncoderLayer(nn.Module):
         y, new_kv = MultiHeadedAttention(
             self.attention_heads, self.size, self.attention_dropout_rate,
             rel_pos=True, adaptive_scale=self.adaptive_scale, pos_bias=True,
-            dtype=self.dtype, name='self_attn')(
+            init_weights=True, dtype=self.dtype, name='self_attn')(
             xn, xn, xn, mask=mask, pos_emb=pos_emb, kv_cache=kv_cache,
             deterministic=deterministic)
         x = residual + dropout(y, deterministic=deterministic)
@@ -159,6 +159,7 @@ class SqueezeformerEncoderLayer(nn.Module):
         y = PositionwiseFeedForward(self.size, self.feed_forward_units,
                                     self.dropout_rate, self.activation,
                                     adaptive_scale=self.adaptive_scale,
+                                    init_weights=True,
                                     dtype=self.dtype, name='ffn1')(
             maybe_pre(x, norm2), deterministic)
         x = residual + dropout(y, deterministic=deterministic)
@@ -169,8 +170,8 @@ class SqueezeformerEncoderLayer(nn.Module):
         y, new_cnn = ConvolutionModule(
             self.size, self.cnn_module_kernel, self.activation,
             self.cnn_norm_type, self.causal,
-            adaptive_scale=self.adaptive_scale, dtype=self.dtype,
-            name='conv_module')(
+            adaptive_scale=self.adaptive_scale, init_weights=True,
+            dtype=self.dtype, name='conv_module')(
             maybe_pre(x, norm3), mask_pad, cnn_cache, deterministic)
         x = residual + dropout(y, deterministic=deterministic)
         x = maybe_post(x, norm3)
@@ -180,6 +181,7 @@ class SqueezeformerEncoderLayer(nn.Module):
         y = PositionwiseFeedForward(self.size, self.feed_forward_units,
                                     self.dropout_rate, self.activation,
                                     adaptive_scale=self.adaptive_scale,
+                                    init_weights=True,
                                     dtype=self.dtype, name='ffn2')(
             maybe_pre(x, norm4), deterministic)
         x = residual + dropout(y, deterministic=deterministic)
@@ -255,8 +257,15 @@ class SqueezeformerEncoder(nn.Module):
         self.embed = DepthwiseConv2DSubsampling4(
             self.encoder_dim, self.dw_stride, self.input_dropout_rate,
             dtype=self.dtype)
+        # scale-aware init ±(odim·idim/4)^-0.5 (reference subsampling.py
+        # init_weights) — with the module-level inits this stabilizes the
+        # post-LN stack
+        from ppasr_tpu.models.base import symmetric_uniform
+        proj_init = symmetric_uniform(
+            (self.encoder_dim * self.input_size / 4) ** -0.5)
         self.input_proj = nn.Dense(self.encoder_dim,
-                                   kernel_init=kaiming_uniform,
+                                   kernel_init=proj_init,
+                                   bias_init=proj_init,
                                    dtype=self.dtype)
         self.input_dropout = nn.Dropout(self.input_dropout_rate)
         self.preln = nn.LayerNorm(dtype=self.dtype)
