@@ -49,7 +49,8 @@ class PPASRPredictor:
                  decoding_chunk_size: int = 16,
                  num_decoding_left_chunks: int = -1,
                  time_bucket_frames: int = 100,
-                 compute_dtype: str = 'float32'):
+                 compute_dtype: str = 'float32',
+                 use_device_frontend: bool = False):
         """``model_path``: exported dir containing model.msgpack +
         inference.json (see PPASRTrainer.export).
         ``compute_dtype='bfloat16'`` runs activations in bf16 (~30% faster
@@ -69,6 +70,7 @@ class PPASRPredictor:
         self.vocab_size = infer_conf['vocab_size']
         self.time_bucket_frames = time_bucket_frames
         self._pun_model_dir = pun_model_dir
+        self.use_device_frontend = use_device_frontend
 
         # prefer artifact-bundled CMVN/vocab (export copies them in)
         bundled_istd = os.path.join(model_path, 'mean_istd.json')
@@ -155,6 +157,26 @@ class PPASRPredictor:
         else:
             self._chunk_fn = jax.jit(lambda p, x, st: self.model.apply(
                 p, x, st, method='get_encoder_out_chunk'))
+
+        if use_device_frontend:
+            # fused Pallas fbank over fixed-size raw windows: one window of
+            # decoding_window frames needs (win−1)·160 + 400 samples, so the
+            # kernel compiles once and the host does only PCM bookkeeping
+            from ppasr_tpu.ops.fbank_pallas import fbank_frames_pallas
+            from ppasr_tpu.ops.fbank import frame_jax
+            self._win_samples = (self.decoding_window - 1) * 160 + 400
+            self._stride_samples = self.stride * 160
+
+            interp = jax.default_backend() == 'cpu'  # pallas needs interpret
+
+            def device_featurize(wav):  # [1, win_samples] int16-scaled
+                frames = frame_jax(wav, 400, 160, self.decoding_window)
+                return fbank_frames_pallas(
+                    frames.reshape(-1, 400),
+                    num_mel_bins=self.input_dim,
+                    interpret=interp).reshape(
+                    self.decoding_window, self.input_dim)
+            self._device_featurize = jax.jit(device_featurize)
 
         self._init_decoder()
         self.reset_stream()
@@ -366,6 +388,9 @@ class PPASRPredictor:
             self._stream_sq_sum += float(np.sum(s.astype(np.float64) ** 2))
             self._stream_n += len(s)
 
+        if self.use_device_frontend:
+            return self._predict_stream_device(is_end, use_pun, is_itn)
+
         # featurize everything buffered WITHOUT gain; the running-RMS gain is
         # applied later as an additive log-mel offset per consumed window
         # (a linear gain g scales every mel energy by g², i.e. shifts
@@ -420,6 +445,40 @@ class PPASRPredictor:
         if is_itn and text:
             text = self._inverse_text_normalization(text)
         return {'text': text, 'score': result_score or 0.0}
+
+    def _predict_stream_device(self, is_end, use_pun, is_itn):
+        """Device-frontend streaming: raw PCM windows go straight through the
+        fused Pallas fbank on device; the host only slices sample buffers."""
+        import jax.numpy as _jnp
+        result_text, result_score = None, None
+        while len(self._remained_wav) >= self._win_samples:
+            window = self._remained_wav[:self._win_samples]
+            self._remained_wav = self._remained_wav[self._stride_samples:]
+            feat = np.asarray(self._device_featurize(
+                _jnp.asarray(np.clip(window * 32768.0, -32768, 32767)
+                             [None])))
+            probs = self._run_chunk(feat)
+            dec = self._beam_decoder or self._stream_decoder
+            result_score, result_text = dec.decode_chunk(probs)
+        if is_end and len(self._remained_wav) >= self.context * 160 + 240:
+            # flush: host featurize of the short tail (one-off shape)
+            seg = AudioSegment(
+                self._remained_wav.copy(), 16000)
+            feat = self.stream_featurizer.featurize(seg)
+            self._remained_wav = np.zeros(0, np.float32)
+            if feat.shape[0] >= self.context:
+                probs = self._run_chunk(feat)
+                if probs.shape[0] > 0:
+                    if self._beam_decoder is not None:
+                        result_score, result_text = \
+                            self._beam_decoder.decode_chunk(probs)
+                    else:
+                        result_score, result_text = \
+                            self._stream_decoder.decode_chunk(probs)
+        if result_text is None:
+            dec = self._beam_decoder or self._stream_decoder
+            result_score, result_text = dec.current()
+        return {'text': result_text or '', 'score': result_score or 0.0}
 
     def _stream_gain_offset(self) -> float:
         """Additive log-mel offset from the running-RMS dB gain estimate."""
