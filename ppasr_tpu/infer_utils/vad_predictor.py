@@ -72,13 +72,35 @@ class VADModel:
         return np.asarray(probs, np.float32)
 
 
+def _packaged_silero_path():
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        '..', 'assets', 'silero_vad_v3.npz')
+
+
 class VADPredictor:
+    """Scoring backend priority: converted Silero-VAD v3 weights (packaged
+    asset or ``model_dir/silero_vad_v3.npz``) > trained ``VADModel``
+    checkpoint > log-RMS energy heuristic."""
+
     def __init__(self, window_size_samples: int = 512,
                  sampling_rate: int = 16000, model_dir: str = None):
         self.window_size_samples = window_size_samples
         self.sampling_rate = sampling_rate
         self.model = None
-        if model_dir and os.path.exists(
+        silero_candidates = [_packaged_silero_path()]
+        if model_dir:
+            silero_candidates.insert(
+                0, os.path.join(model_dir, 'silero_vad_v3.npz'))
+        for path in silero_candidates:
+            if os.path.exists(path):
+                try:
+                    from ppasr_tpu.infer_utils.silero_jax import SileroVAD
+                    self.model = SileroVAD(
+                        path, 16000 if sampling_rate >= 16000 else 8000)
+                    break
+                except Exception:
+                    self.model = None
+        if self.model is None and model_dir and os.path.exists(
                 os.path.join(model_dir, 'vad_model.msgpack')):
             try:
                 self.model = VADModel(model_dir)
@@ -129,6 +151,8 @@ class VADPredictor:
         wav = np.asarray(wav, np.float32)
         sr, w = self.sampling_rate, self.window_size_samples
         self._noise_floor = None
+        if self.model is not None:
+            self.model.reset()   # fresh LSTM state per offline utterance
         probs = self._frame_probs(wav)
         neg_threshold = threshold - 0.15
         min_speech = sr * min_speech_duration_ms / 1000

@@ -113,18 +113,50 @@ def test_full_pipeline(workspace):
     predictor.reset_stream()
 
 
-def test_vad_segmentation():
+def test_vad_segmentation_energy_backend():
+    """The dependency-free energy fallback segments loud-vs-quiet audio."""
     from ppasr_tpu.infer_utils.vad_predictor import VADPredictor
     rng = np.random.default_rng(0)
     sr = 16000
-    # 1 s noise floor, 1 s loud speech-ish, 1 s noise
+    # 1 s noise floor, 1 s loud span, 1 s noise
     wav = np.concatenate([
         rng.standard_normal(sr) * 0.001,
         rng.standard_normal(sr) * 0.3,
         rng.standard_normal(sr) * 0.001]).astype(np.float32)
     vad = VADPredictor(sampling_rate=sr)
+    vad.model = None   # force the energy heuristic
     speeches = vad.get_speech_timestamps(wav)
     assert len(speeches) >= 1
     s = speeches[0]
     assert abs(s['start'] - sr) < sr * 0.3
     assert abs(s['end'] - 2 * sr) < sr * 0.3
+
+
+def test_vad_segmentation_silero():
+    """The packaged Silero weights segment real speech with silence pads."""
+    import wave
+    from ppasr_tpu.infer_utils.vad_predictor import VADPredictor
+    wav_path = '/root/reference/dataset/test.wav'
+    if not os.path.exists(wav_path):
+        import pytest
+        pytest.skip('no real speech fixture')
+    with wave.open(wav_path, 'rb') as f:
+        sr = f.getframerate()
+        pcm = np.frombuffer(f.readframes(f.getnframes()),
+                            np.int16).astype(np.float32) / 32768.0
+    wav = np.concatenate([np.zeros(sr, np.float32), pcm,
+                          np.zeros(sr, np.float32)])
+    vad = VADPredictor(sampling_rate=sr)
+    assert type(vad.model).__name__ == 'SileroVAD'
+    speeches = vad.get_speech_timestamps(wav)
+    assert len(speeches) >= 1
+    # speech must start after the leading silence second and end before
+    # the trailing one
+    assert speeches[0]['start'] >= sr * 0.7
+    assert speeches[-1]['end'] <= len(wav) - sr * 0.7
+    # and streaming events must fire inside the speech span too
+    vad.reset_states()
+    events = []
+    for i in range(0, len(wav), 4096):
+        events += vad.stream_vad(wav[i:i + 4096])
+    assert any('start' in e for e in events)
