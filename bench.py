@@ -128,6 +128,30 @@ def bench_train_step(model, params, iters=5, bsz=8, frames=1000):
     return bsz * (frames / 100.0) * iters / (time.perf_counter() - start)
 
 
+def bench_beam_decode(iters=5, bsz=16, frames=250, vocab=4096):
+    """On-device CTC prefix beam search over realistic peaky posteriors
+    (75% blank-dominated frames), posteriors already resident on device."""
+    from ppasr_tpu.decoders.beam_search_jax import JaxBeamSearchDecoder
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((bsz, frames, vocab)).astype(np.float32)
+    blank_frames = rng.random((bsz, frames)) < 0.75
+    logits[..., 0] = np.where(blank_frames, 14.0, -2.0)
+    spike = rng.integers(1, vocab, (bsz, frames))
+    idx = np.arange(frames)
+    for b in range(bsz):
+        logits[b, idx, spike[b]] += np.where(blank_frames[b], 0, 10.0)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    probs_dev = jnp.asarray(probs)
+    lens = np.full((bsz,), frames, np.int32)
+    dec = JaxBeamSearchDecoder([str(i) for i in range(vocab)], beam_size=10)
+    dec.decode_batch(probs_dev, lens)   # compile
+    start = time.perf_counter()
+    for _ in range(iters):
+        dec.decode_batch(probs_dev, lens)
+    return bsz * frames * 0.04 * iters / (time.perf_counter() - start)
+
+
 def main():
     model = _flagship()
     rng = jax.random.PRNGKey(0)
@@ -153,6 +177,12 @@ def main():
             "metric": "train_step_throughput",
             "value": round(train_tp, 2),
             "unit": "audio-seconds/s/chip (fwd+bwd+adamw, B=8x10s)",
+            "vs_baseline": None}), file=sys.stderr)
+        beam_tp = bench_beam_decode()
+        print(json.dumps({
+            "metric": "beam_decode_throughput",
+            "value": round(beam_tp, 2),
+            "unit": "audio-seconds/s/chip (on-device, B=16 beam=10 V=4096)",
             "vs_baseline": None}), file=sys.stderr)
     print(json.dumps({
         "metric": "streaming_chunk_latency_b16", "value": round(lat_ms, 2),

@@ -6,15 +6,20 @@ with the batch and beam axes vectorized — batch decode needs zero host↔devic
 round-trips, and the streaming state (prefixes, beam scores) is a pytree that
 stays in device memory between chunks.
 
-Algorithm per step (beam K, candidate top-N):
-  1. top-N token candidates per frame (+ cumulative-prob cutoff mask);
-  2. K "stay" candidates (same prefix: blank path + repeat-last path) and
-     K·N "extend" candidates (prefix + c, with CTC's repeat/blank rules);
-  3. prefixes are identified by a 32-bit rolling hash; the pooled candidates
-     are sorted by hash and equal-hash entries merged with a segment
-     logsumexp (order-independent dedup — SURVEY.md §7.3);
-  4. top-K by total probability re-forms the beam; prefix token storage is
-     gathered alongside.
+Two-phase design (the vocab-sized work is hoisted out of the scan):
+  Phase 1 — candidate precompute, one batched pass over [B, T, V]:
+    per-frame blank log-prob + top-N token candidates with the cumulative
+    cutoff mask; optional rank-preserving blank-frame compaction then
+    left-packs the [B, T, 1+2N] candidate arrays (never the [B, T, V]
+    posteriors). The V axis is touched exactly once.
+  Phase 2 — the beam scan, per step (beam K, candidates N):
+    1. K "stay" candidates (same prefix: blank path + repeat-last path) and
+       K·N "extend" candidates (prefix + c, with CTC's repeat/blank rules);
+    2. prefixes are identified by a 32-bit rolling hash; the pooled
+       candidates are sorted by hash and equal-hash entries merged with a
+       segment logsumexp (order-independent dedup — SURVEY.md §7.3);
+    3. top-K by total probability re-forms the beam; prefix token storage
+       is gathered alongside.
 
 Optional LM shallow fusion: dense char-level log10 unigram/bigram tables
 (device arrays) with KenLM-style alpha/beta weights.
@@ -68,20 +73,70 @@ def _logaddexp(a, b):
     return jnp.where(m > NEG_INF / 2, out, NEG_INF)
 
 
-def _beam_step(state: BeamState, log_row, row, blank, top_n, beam_size,
-               cutoff_prob, lm_bigram, lm_unigram, alpha, beta,
-               merge_mode='sort'):
-    """One time step for one utterance."""
+# --------------------------------------------------------------- phase 1
+
+def precompute_candidates(probs, blank, top_n, cutoff_prob):
+    """[..., V] probs → (lp_blank [...], cand [..., N] int32,
+    cand_lp [..., N]). The only pass that ever reads the vocab axis."""
+    v = probs.shape[-1]
+    lp_blank = jnp.log(jnp.maximum(probs[..., blank], 1e-30))
+    no_blank = jnp.where(jnp.arange(v) == blank, 0.0, probs)
+    cand_p, cand = jax.lax.top_k(no_blank, top_n)
+    keep = jnp.cumsum(cand_p, axis=-1) - cand_p < cutoff_prob
+    cand_lp = jnp.where(keep, jnp.log(jnp.maximum(cand_p, 1e-30)), NEG_INF)
+    return lp_blank, cand.astype(jnp.int32), cand_lp
+
+
+def compact_candidate_frames(lp_blank, cand, cand_lp, lens,
+                             blank_skip_threshold: float):
+    """Drop frames dominated by blank, in candidate space.
+
+    A frame with P(blank) ≥ threshold multiplies every beam's total mass by
+    ≈P(blank) — a shared additive log constant that cannot change the
+    ranking — so decoding only the remaining "spike" frames is
+    rank-preserving (the same pruning every production CTC decoder applies;
+    speech is typically 60-85% blank frames, giving a 3-6× decode speedup).
+
+    Kept frames are left-packed; returns (lp_blank, cand, cand_lp, new_lens).
+    """
+    bsz, t_max = lp_blank.shape
+    keep = (jnp.exp(lp_blank) < blank_skip_threshold) \
+        & (jnp.arange(t_max)[None, :] < lens[:, None])
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep, pos, t_max - 1)  # dropped frames pile on the end
+    scat = jax.vmap(lambda dst, p, src: dst.at[p].set(src))
+    out_blank = scat(jnp.zeros_like(lp_blank), pos, lp_blank)
+    out_cand = scat(jnp.zeros_like(cand), pos, cand)
+    out_lp = scat(jnp.full_like(cand_lp, NEG_INF), pos, cand_lp)
+    new_lens = jnp.maximum(keep.sum(axis=1).astype(jnp.int32), 1)
+    return out_blank, out_cand, out_lp, new_lens
+
+
+def compact_blank_frames(probs: jnp.ndarray, lens: jnp.ndarray,
+                         blank: int = 0,
+                         blank_skip_threshold: float = 0.98):
+    """Legacy full-posterior compaction (kept for API compatibility;
+    the decode path now compacts in candidate space instead)."""
+    bsz, t_max, v = probs.shape
+    keep = (probs[:, :, blank] < blank_skip_threshold) \
+        & (jnp.arange(t_max)[None, :] < lens[:, None])
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep, pos, t_max - 1)
+    out = jax.vmap(lambda o, p, x: o.at[p].set(x))(
+        jnp.zeros_like(probs), pos, probs)
+    new_lens = jnp.maximum(keep.sum(axis=1).astype(jnp.int32), 1)
+    return out, new_lens
+
+
+# --------------------------------------------------------------- phase 2
+
+def _beam_step(state: BeamState, lp_blank, cand, cand_lp, top_n, beam_size,
+               lm_bigram, lm_unigram, alpha, beta, merge_mode='sort'):
+    """One time step for one utterance, over precomputed candidates.
+    lp_blank: scalar; cand/cand_lp: [N]."""
     k = beam_size
     u_max = state.prefixes.shape[1]
 
-    # --- candidate tokens (top-N + cumulative cutoff), blank excluded
-    probs_no_blank = row.at[blank].set(0.0)
-    cand_p, cand = jax.lax.top_k(probs_no_blank, top_n)   # [N]
-    keep = jnp.cumsum(cand_p) - cand_p < cutoff_prob
-    cand_lp = jnp.where(keep, jnp.log(jnp.maximum(cand_p, 1e-30)), NEG_INF)
-
-    lp_blank = jnp.log(jnp.maximum(row[blank], 1e-30))
     p_tot = _logaddexp(state.p_b, state.p_nb)             # [K]
 
     # --- LM bonus for extending with candidate c given last char
@@ -139,17 +194,30 @@ def _beam_step(state: BeamState, log_row, row, blank, top_n, beam_size,
 
     m = pool_hash.shape[0]
     if merge_mode == 'sort':
-        # --- exact merge: sort by hash, run-boundary segment logsumexp
+        # --- exact merge: sort by hash, then a NEIGHBOR pair-merge.
+        # Beams always hold distinct prefixes, so any prefix appears in the
+        # pool at most twice: once as a stay (beam already = P) and once as
+        # an extend (the unique beam = P[:-1] extended by P[-1]). Equal-hash
+        # runs therefore have length ≤ 2 (longer runs only from 32-bit hash
+        # collisions or dead-entry sentinels, both harmless), and the merge
+        # needs no segment scatters — just a logaddexp with the next entry.
         order = jnp.argsort(pool_hash)
         s_hash = pool_hash[order]
         s_p_b = pool_p_b[order]
         s_p_nb = pool_p_nb[order]
-        new_seg = jnp.concatenate(
-            [jnp.ones((1,), jnp.int32),
-             (s_hash[1:] != s_hash[:-1]).astype(jnp.int32)])
-        seg_id = jnp.cumsum(new_seg) - 1                   # [M]
-        num_segments = m
-        first = new_seg.astype(bool)
+        first = jnp.concatenate([jnp.ones((1,), bool),
+                                 s_hash[1:] != s_hash[:-1]])
+        next_same = jnp.concatenate([s_hash[1:] == s_hash[:-1],
+                                     jnp.zeros((1,), bool)])
+
+        def pair_merge(vals):
+            nxt = jnp.concatenate([vals[1:],
+                                   jnp.full((1,), NEG_INF, vals.dtype)])
+            merged = jnp.where(next_same, _logaddexp(vals, nxt), vals)
+            return jnp.where(first, merged, NEG_INF)
+
+        merged_p_b = pair_merge(s_p_b)
+        merged_p_nb = pair_merge(s_p_nb)
     else:
         # --- EXPERIMENTAL scatter merge: bucket by hash mod H — O(M)
         # scatters instead of the O(M log M) bitonic sort. The birthday
@@ -170,19 +238,20 @@ def _beam_step(state: BeamState, log_row, row, blank, top_n, beam_size,
             jnp.where(first, idxs, m), seg_id, num_segments=num_segments)
         first = idxs == bucket_argmin[seg_id]
 
-    def seg_logsumexp(vals):
-        seg_max = jax.ops.segment_max(vals, seg_id,
-                                      num_segments=num_segments)
-        seg_max_safe = jnp.where(seg_max > NEG_INF / 2, seg_max, 0.0)
-        sums = jax.ops.segment_sum(jnp.exp(vals - seg_max_safe[seg_id]),
-                                   seg_id, num_segments=num_segments)
-        out = seg_max_safe + jnp.log(jnp.maximum(sums, 1e-38))
-        return jnp.where(sums > 0, out, NEG_INF)
+        def seg_logsumexp(vals):
+            seg_max = jax.ops.segment_max(vals, seg_id,
+                                          num_segments=num_segments)
+            seg_max_safe = jnp.where(seg_max > NEG_INF / 2, seg_max, 0.0)
+            sums = jax.ops.segment_sum(
+                jnp.exp(vals - seg_max_safe[seg_id]),
+                seg_id, num_segments=num_segments)
+            out = seg_max_safe + jnp.log(jnp.maximum(sums, 1e-38))
+            return jnp.where(sums > 0, out, NEG_INF)
 
-    merged_p_b = seg_logsumexp(s_p_b)[seg_id]
-    merged_p_nb = seg_logsumexp(s_p_nb)[seg_id]
-    merged_p_b = jnp.where(first, merged_p_b, NEG_INF)
-    merged_p_nb = jnp.where(first, merged_p_nb, NEG_INF)
+        merged_p_b = seg_logsumexp(s_p_b)[seg_id]
+        merged_p_nb = seg_logsumexp(s_p_nb)[seg_id]
+        merged_p_b = jnp.where(first, merged_p_b, NEG_INF)
+        merged_p_nb = jnp.where(first, merged_p_nb, NEG_INF)
 
     merged_tot = _logaddexp(merged_p_b, merged_p_nb)
     top_vals, top_idx = jax.lax.top_k(merged_tot, k)
@@ -212,6 +281,17 @@ def _beam_step(state: BeamState, log_row, row, blank, top_n, beam_size,
     return new_state
 
 
+def _masked_step(states, lp_blank, cand, cand_lp, active, top_n, beam_size,
+                 lm_bigram, lm_unigram, alpha, beta, merge_mode):
+    """Vmapped step over the batch; inactive lanes keep their state."""
+    def one(state, lpb, cd, clp, act):
+        new = _beam_step(state, lpb, cd, clp, top_n, beam_size,
+                         lm_bigram, lm_unigram, alpha, beta, merge_mode)
+        return jax.tree.map(lambda n, o: jnp.where(
+            jnp.reshape(act, (1,) * n.ndim), n, o), new, state)
+    return jax.vmap(one)(states, lp_blank, cand, cand_lp, active)
+
+
 @partial(jax.jit, static_argnames=('blank', 'beam_size', 'cutoff_top_n',
                                    'max_prefix_len', 'merge_mode'))
 def beam_search_step_batch(states: BeamState, probs_t: jnp.ndarray,
@@ -223,46 +303,34 @@ def beam_search_step_batch(states: BeamState, probs_t: jnp.ndarray,
                            max_prefix_len: int = 0,
                            merge_mode: str = 'sort'):
     """One decode step over the whole batch.
-    probs_t: [B, V]; active: [B] bool (frame < utterance length).
-    merge_mode: 'scatter' (hash-table merge, fast) | 'sort' (exact)."""
-    log_row = jnp.log(jnp.maximum(probs_t, 1e-30))
-
-    def one(state, row, lrow, act):
-        new = _beam_step(state, lrow, row, blank, cutoff_top_n,
-                         beam_size, cutoff_prob, lm_bigram, lm_unigram,
-                         alpha, beta, merge_mode)
-        return jax.tree.map(lambda n, o: jnp.where(
-            jnp.reshape(act, (1,) * n.ndim), n, o), new, state)
-
-    return jax.vmap(one)(states, probs_t, log_row, active)
+    probs_t: [B, V]; active: [B] bool (frame < utterance length)."""
+    lp_blank, cand, cand_lp = precompute_candidates(
+        probs_t, blank, cutoff_top_n, cutoff_prob)
+    return _masked_step(states, lp_blank, cand, cand_lp, active,
+                        cutoff_top_n, beam_size, lm_bigram, lm_unigram,
+                        alpha, beta, merge_mode)
 
 
-def compact_blank_frames(probs: jnp.ndarray, lens: jnp.ndarray,
-                         blank: int = 0,
-                         blank_skip_threshold: float = 0.98):
-    """Drop frames dominated by blank before the beam scan.
+def _scan_candidates(states, lp_blank, cand, cand_lp, lens, top_n,
+                     beam_size, lm_bigram, lm_unigram, alpha, beta,
+                     merge_mode):
+    """Run the beam over precomputed candidates.
+    lp_blank [B, T]; cand/cand_lp [B, T, N]."""
+    t_max = lp_blank.shape[1]
 
-    A frame with P(blank) ≥ threshold multiplies every beam's total mass by
-    ≈P(blank) — a shared additive log constant that cannot change the
-    ranking — so decoding only the remaining "spike" frames is
-    rank-preserving (the same pruning every production CTC decoder applies;
-    speech is typically 60-85% blank frames, giving a 3-6× decode speedup).
+    def step(st, inp):
+        lpb_t, cand_t, clp_t, t = inp
+        active = t < lens
+        return _masked_step(st, lpb_t, cand_t, clp_t, active, top_n,
+                            beam_size, lm_bigram, lm_unigram, alpha, beta,
+                            merge_mode), None
 
-    Returns (compacted probs [B, T, V] with kept frames left-packed,
-    new lens [B])."""
-    bsz, t_max, v = probs.shape
-    keep = (probs[:, :, blank] < blank_skip_threshold) \
-        & (jnp.arange(t_max)[None, :] < lens[:, None])
-    # left-pack kept frames: target position = rank among kept
-    pos = jnp.cumsum(keep, axis=1) - 1
-    pos = jnp.where(keep, pos, t_max - 1)  # dump dropped frames at the end
-    out = jnp.zeros_like(probs)
-    # scatter rows; dropped frames overwrite slot t_max-1 (beyond new_lens)
-    out = jax.vmap(lambda o, p, x: o.at[p].set(x))(out, pos, probs)
-    new_lens = keep.sum(axis=1).astype(jnp.int32)
-    # ensure at least one frame so downstream shapes stay sane
-    new_lens = jnp.maximum(new_lens, 1)
-    return out, new_lens
+    xs = (jnp.transpose(lp_blank, (1, 0)),
+          jnp.transpose(cand, (1, 0, 2)),
+          jnp.transpose(cand_lp, (1, 0, 2)),
+          jnp.arange(t_max, dtype=jnp.int32))
+    final, _ = jax.lax.scan(step, states, xs)
+    return final
 
 
 def ctc_beam_search_jax(probs: jnp.ndarray, lens: jnp.ndarray,
@@ -277,50 +345,78 @@ def ctc_beam_search_jax(probs: jnp.ndarray, lens: jnp.ndarray,
 
     The scan runs fully on device; convert with ``beam_state_to_results``.
     ``blank_skip_threshold < 1`` enables rank-preserving blank-frame
-    compaction (see compact_blank_frames)."""
+    compaction (see compact_candidate_frames)."""
     bsz, t_max, _ = probs.shape
-    if blank_skip_threshold < 1.0:
-        probs, lens = compact_blank_frames(probs, lens, blank,
-                                           blank_skip_threshold)
     if max_prefix_len is None:
         max_prefix_len = t_max
+    lp_blank, cand, cand_lp = precompute_candidates(
+        probs, blank, cutoff_top_n, cutoff_prob)
+    if blank_skip_threshold < 1.0:
+        lp_blank, cand, cand_lp, lens = compact_candidate_frames(
+            lp_blank, cand, cand_lp, lens, blank_skip_threshold)
     init = jax.vmap(lambda _: init_beam_state(beam_size, max_prefix_len))(
         jnp.arange(bsz))
+    return _scan_candidates(init, lp_blank, cand, cand_lp, lens,
+                            cutoff_top_n, beam_size, lm_bigram, lm_unigram,
+                            alpha, beta, merge_mode)
 
-    def step(states, inp):
-        probs_t, t = inp
-        active = t < lens
-        new = beam_search_step_batch(
-            states, probs_t, active, blank=blank, beam_size=beam_size,
-            cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob,
-            lm_bigram=lm_bigram, lm_unigram=lm_unigram,
-            alpha=alpha, beta=beta, max_prefix_len=max_prefix_len,
-            merge_mode=merge_mode)
-        return new, None
 
-    final, _ = jax.lax.scan(
-        step, init, (jnp.transpose(probs, (1, 0, 2)),
-                     jnp.arange(t_max, dtype=jnp.int32)))
-    return final
+def ctc_beam_search_jax_continue(states: BeamState, probs, lens,
+                                 blank: int = 0, beam_size: int = 10,
+                                 cutoff_top_n: int = 40,
+                                 cutoff_prob: float = 0.99,
+                                 lm_bigram=None, lm_unigram=None,
+                                 alpha: float = 2.2, beta: float = 4.3,
+                                 max_prefix_len: int = 0,
+                                 merge_mode: str = 'sort'):
+    """Continue decoding from an existing BeamState (streaming)."""
+    lp_blank, cand, cand_lp = precompute_candidates(
+        probs, blank, cutoff_top_n, cutoff_prob)
+    return _scan_candidates(states, lp_blank, cand, cand_lp, lens,
+                            cutoff_top_n, beam_size, lm_bigram, lm_unigram,
+                            alpha, beta, merge_mode)
+
+
+def pack_best_hypothesis(states: BeamState) -> jnp.ndarray:
+    """Device-side selection of each lane's best beam, packed into ONE
+    int32 buffer [B, 2 + U_max]: (score bitcast, length, prefix tokens).
+    A single host transfer then yields every result — the per-transfer
+    latency of separate p_b/p_nb/prefixes/lengths reads dominated decode
+    wall-clock before this."""
+    p_tot = _logaddexp(states.p_b, states.p_nb)            # [B, K]
+    best = jnp.argmax(p_tot, axis=1)                       # [B]
+    bi = jnp.arange(p_tot.shape[0])
+    score = p_tot[bi, best]
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(score, jnp.int32)[:, None],
+        states.lengths[bi, best][:, None],
+        states.prefixes[bi, best]], axis=1)
+
+
+def unpack_results(packed: np.ndarray, vocab_list):
+    """Host side of pack_best_hypothesis → list of (score, text)."""
+    packed = np.asarray(packed)
+    scores = packed[:, 0].view(np.float32)
+    out = []
+    for b in range(packed.shape[0]):
+        ids = packed[b, 2:2 + packed[b, 1]]
+        out.append((float(scores[b]),
+                    ''.join(vocab_list[i] for i in ids)))
+    return out
 
 
 def beam_state_to_results(states: BeamState, vocab_list):
     """BeamState batch → list of (score, text) best-first (host side)."""
-    p_tot = np.asarray(_logaddexp(states.p_b, states.p_nb))
-    prefixes = np.asarray(states.prefixes)
-    lengths = np.asarray(states.lengths)
-    out = []
-    for b in range(p_tot.shape[0]):
-        best = int(np.argmax(p_tot[b]))
-        ids = prefixes[b, best, :lengths[b, best]]
-        text = ''.join(vocab_list[i] for i in ids)
-        out.append((float(p_tot[b, best]), text))
-    return out
+    return unpack_results(pack_best_hypothesis(states), vocab_list)
 
 
 class JaxBeamSearchDecoder:
     """Drop-in decoder with the BeamSearchDecoder surface, running the search
-    on device. Streaming keeps BeamState in device memory across chunks."""
+    on device. Streaming keeps BeamState in device memory across chunks.
+
+    ``decode_batch`` accepts device arrays and keeps them on device — feed
+    it the jitted model's output directly (no host round-trip of the
+    [B, T, V] posteriors)."""
 
     def __init__(self, vocab_list, alpha: float = 2.2, beta: float = 4.3,
                  beam_size: int = 10, cutoff_prob: float = 0.99,
@@ -374,43 +470,52 @@ class JaxBeamSearchDecoder:
 
     # ------------------------------------------------------------- offline
 
-    def _decode_fn(self):
-        """Jitted decode, cached on the instance (the scan would otherwise be
-        re-traced on every decode_batch call)."""
-        if not hasattr(self, '_jit_decode'):
-            def run(probs, lens):
-                return ctc_beam_search_jax(
-                    probs, lens,
-                    blank=self.blank_index, beam_size=self.beam_size,
-                    cutoff_top_n=self.cutoff_top_n,
-                    cutoff_prob=self.cutoff_prob,
-                    lm_bigram=self.lm_bigram, lm_unigram=self.lm_unigram,
-                    alpha=self.alpha, beta=self.beta,
-                    max_prefix_len=self.max_prefix_len,
-                    merge_mode=self.merge_mode)
-            self._jit_decode = jax.jit(run)
+    def _build_fns(self):
+        """Jitted phase-1 (candidates + compaction) and phase-2 (beam scan),
+        cached on the instance so repeated decode_batch calls reuse the
+        compiled programs."""
+        if hasattr(self, '_jit_scan'):
+            return
 
-            def compact(probs, lens):
-                return compact_blank_frames(probs, lens, self.blank_index,
-                                            self.blank_skip_threshold)
-            self._jit_compact = jax.jit(compact)
-        return self._jit_decode
+        def prep(probs, lens):
+            lp_blank, cand, cand_lp = precompute_candidates(
+                probs, self.blank_index, self.cutoff_top_n,
+                self.cutoff_prob)
+            if self.blank_skip_threshold < 1.0:
+                return compact_candidate_frames(
+                    lp_blank, cand, cand_lp, lens,
+                    self.blank_skip_threshold)
+            return lp_blank, cand, cand_lp, lens
+        self._jit_prep = jax.jit(prep)
+
+        def scan(lp_blank, cand, cand_lp, lens):
+            bsz = lp_blank.shape[0]
+            init = jax.vmap(lambda _: init_beam_state(
+                self.beam_size, self.max_prefix_len))(jnp.arange(bsz))
+            final = _scan_candidates(
+                init, lp_blank, cand, cand_lp, lens, self.cutoff_top_n,
+                self.beam_size, self.lm_bigram, self.lm_unigram,
+                self.alpha, self.beta, self.merge_mode)
+            return pack_best_hypothesis(final)   # one packed D2H transfer
+        self._jit_scan = jax.jit(scan)
 
     def decode_batch(self, probs_batch, lens):
-        probs = jnp.asarray(np.asarray(probs_batch), jnp.float32)
+        probs = jnp.asarray(probs_batch, jnp.float32)
         lens = jnp.asarray(np.asarray(lens), jnp.int32)
-        decode = self._decode_fn()
+        self._build_fns()
+        lp_blank, cand, cand_lp, lens = self._jit_prep(probs, lens)
         if self.blank_skip_threshold < 1.0:
-            # rank-preserving blank-frame compaction, then shorten the scan
-            # to a 64-frame bucket of the longest compacted utterance — this
-            # is where the 3-6× speedup on real speech comes from
-            probs, lens = self._jit_compact(probs, lens)
+            # shorten the scan to a 64-frame bucket of the longest
+            # compacted utterance — this is where the 3-6× speedup on real
+            # speech comes from
             t_needed = int(jnp.max(lens))
             bucket = max(64, ((t_needed + 63) // 64) * 64)
-            if bucket < probs.shape[1]:
-                probs = probs[:, :bucket]
-        final = decode(probs, lens)
-        return beam_state_to_results(final, self.vocab_list)
+            if bucket < lp_blank.shape[1]:
+                lp_blank = lp_blank[:, :bucket]
+                cand = cand[:, :bucket]
+                cand_lp = cand_lp[:, :bucket]
+        packed = self._jit_scan(lp_blank, cand, cand_lp, lens)
+        return unpack_results(packed, self.vocab_list)
 
     def decode(self, probs):
         probs = np.asarray(probs)
@@ -420,6 +525,7 @@ class JaxBeamSearchDecoder:
 
     def reset(self):
         self._state = None
+        self._last_result = None
 
     def decode_chunk(self, chunk_probs):
         probs = np.asarray(chunk_probs, np.float32)
@@ -435,7 +541,7 @@ class JaxBeamSearchDecoder:
                     jnp.arange(1))
             if not hasattr(self, '_jit_continue'):
                 def cont(state, probs, lens):
-                    return ctc_beam_search_jax_continue(
+                    new = ctc_beam_search_jax_continue(
                         state, probs, lens,
                         blank=self.blank_index, beam_size=self.beam_size,
                         cutoff_top_n=self.cutoff_top_n,
@@ -445,6 +551,7 @@ class JaxBeamSearchDecoder:
                         alpha=self.alpha, beta=self.beta,
                         max_prefix_len=self.max_prefix_len,
                         merge_mode=self.merge_mode)
+                    return new, pack_best_hypothesis(new)
                 self._jit_continue = jax.jit(cont)
             # pad the chunk to a 16-frame bucket so one compiled program
             # serves every chunk; padded frames are masked via lens
@@ -452,27 +559,15 @@ class JaxBeamSearchDecoder:
             cap = ((t + 15) // 16) * 16
             padded = np.zeros((cap, probs.shape[1]), np.float32)
             padded[:t] = probs
-            self._state = self._jit_continue(
+            self._state, packed = self._jit_continue(
                 self._state, jnp.asarray(padded[None]),
                 jnp.asarray([t], jnp.int32))
+            self._last_result = unpack_results(packed, self.vocab_list)[0]
         return self.current()
 
     def current(self):
         if self._state is None:
             return 0.0, ''
+        if getattr(self, '_last_result', None) is not None:
+            return self._last_result
         return beam_state_to_results(self._state, self.vocab_list)[0]
-
-
-def ctc_beam_search_jax_continue(states: BeamState, probs, lens, **kwargs):
-    """Continue decoding from an existing BeamState (streaming)."""
-    t_max = probs.shape[1]
-
-    def step(st, inp):
-        probs_t, t = inp
-        active = t < lens
-        return beam_search_step_batch(st, probs_t, active, **kwargs), None
-
-    final, _ = jax.lax.scan(
-        step, states, (jnp.transpose(probs, (1, 0, 2)),
-                       jnp.arange(t_max, dtype=jnp.int32)))
-    return final

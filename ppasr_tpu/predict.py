@@ -305,7 +305,8 @@ class PPASRPredictor:
         probs, olens = self._predict_fn(self.params, jnp.asarray(batch),
                                         jnp.asarray(lens))
         if self._beam_decoder is not None:
-            results = self._beam_decoder.decode_batch(np.asarray(probs),
+            # device arrays pass through as-is (JAX decoder stays on device)
+            results = self._beam_decoder.decode_batch(probs,
                                                       np.asarray(olens))
         else:
             from ppasr_tpu.decoders.greedy import greedy_decoder_batch

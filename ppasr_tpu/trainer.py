@@ -588,8 +588,9 @@ class PPASRTrainer:
                                         jnp.asarray(labels),
                                         jnp.asarray(lab_lens))))
             if decoder is not None:
-                results = decoder.decode_batch(np.asarray(probs),
-                                               np.asarray(olens))
+                # device arrays pass through as-is: the JAX decoder keeps
+                # the [B,T,V] posteriors on device, host decoders convert
+                results = decoder.decode_batch(probs, np.asarray(olens))
             else:
                 results = greedy_decoder_batch(np.asarray(probs),
                                                np.asarray(olens), vocab)
