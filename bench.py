@@ -102,10 +102,21 @@ def bench_frontend(iters=20, bsz=16, seconds=10):
     return results
 
 
-def bench_train_step(model, params, iters=5, bsz=8, frames=1000):
-    """Full training step (fwd+bwd+adamw) throughput in audio-s/s."""
+def bench_train_step(model, params, iters=5, bsz=32, frames=1000):
+    """Full training step (fwd+bwd+adamw) throughput in audio-s/s,
+    bf16 activations (the enable_amp production path; params stay f32)."""
     import optax
+    from ppasr_tpu.models.factory import build_model
     from ppasr_tpu.train_state import TrainState, make_train_step
+    model = build_model(
+        'conformer', 80, 4096, streaming=True,
+        encoder_conf=dict(output_size=256, attention_heads=4,
+                          linear_units=2048, num_blocks=12,
+                          cnn_module_kernel=15),
+        decoder_conf=dict(attention_heads=4, linear_units=1024,
+                          num_blocks=3, r_num_blocks=3),
+        model_conf=dict(ctc_weight=0.3, lsm_weight=0.1, reverse_weight=0.3),
+        dtype=jnp.bfloat16)
     tx = optax.adamw(1e-4)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params))
@@ -176,7 +187,7 @@ def main():
         print(json.dumps({
             "metric": "train_step_throughput",
             "value": round(train_tp, 2),
-            "unit": "audio-seconds/s/chip (fwd+bwd+adamw, B=8x10s)",
+            "unit": "audio-seconds/s/chip (fwd+bwd+adamw, B=32x10s)",
             "vs_baseline": None}), file=sys.stderr)
         beam_tp = bench_beam_decode()
         print(json.dumps({

@@ -164,6 +164,8 @@ class ConformerEncoder(nn.Module):
     cmvn_mean: Optional[tuple] = None
     cmvn_istd: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False   # checkpoint each block: recompute in bwd, trading
+    #                       ~1/3 more FLOPs for O(layers) less activation HBM
 
     @property
     def subsampling_rate(self):
@@ -182,7 +184,11 @@ class ConformerEncoder(nn.Module):
             self.global_cmvn = GlobalCMVN(self.cmvn_mean, self.cmvn_istd)
         self.embed = cls(self.output_size, dtype=self.dtype)
         self.pos_dropout = nn.Dropout(self.positional_dropout_rate)
-        self.layers = [ConformerEncoderLayer(
+        layer_cls = ConformerEncoderLayer
+        if self.remat:
+            # deterministic (arg 7, counting self=0) is a static python bool
+            layer_cls = nn.remat(ConformerEncoderLayer, static_argnums=(7,))
+        self.layers = [layer_cls(
             size=self.output_size,
             attention_heads=self.attention_heads,
             linear_units=self.linear_units,
@@ -253,8 +259,9 @@ class ConformerEncoder(nn.Module):
             dcs, self.static_chunk_size, num_decoding_left_chunks, rng=rng)
 
         for layer in self.layers:
-            xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad=masks,
-                             deterministic=deterministic)
+            # positional args so remat's static_argnums line up
+            xs, _, _ = layer(xs, chunk_masks, pos_emb, masks, None, None,
+                             deterministic)
         if self.normalize_before:
             xs = self.after_norm(xs)
         return xs, masks

@@ -62,22 +62,27 @@ def ctc_loss(log_probs: jnp.ndarray,
     ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank)[:, :s_len]
     can_skip = (s_idx >= 2) & (ext != blank) & (ext != ext_m2)
 
+    # Emissions for every (t, s) gathered ONCE before the scan — the loop
+    # body then touches only [B, S]-sized arrays (the [B, T, V] tensor never
+    # enters the loop, and its gradient is a single scatter outside it).
+    emit_all = jnp.take_along_axis(log_probs, ext[:, None, :], axis=2)
+
     # alpha_0
     alpha0 = jnp.full((bsz, s_len), LOG_EPSILON, dtype=log_probs.dtype)
-    emit0 = jnp.take_along_axis(log_probs[:, 0, :], ext, axis=1)
+    emit0 = emit_all[:, 0, :]
     alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
     has_label = (label_lengths > 0)
     alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, emit0[:, 1], LOG_EPSILON))
     alpha0 = jnp.where(valid_s, alpha0, LOG_EPSILON)
 
-    def step(alpha, t):
+    def step(alpha, inp):
+        emit, t = inp
         prev1 = jnp.pad(alpha, ((0, 0), (1, 0)),
                         constant_values=LOG_EPSILON)[:, :s_len]
         prev2 = jnp.pad(alpha, ((0, 0), (2, 0)),
                         constant_values=LOG_EPSILON)[:, :s_len]
         prev2 = jnp.where(can_skip, prev2, LOG_EPSILON)
         merged = jnp.logaddexp(jnp.logaddexp(alpha, prev1), prev2)
-        emit = jnp.take_along_axis(log_probs[:, t, :], ext, axis=1)
         new_alpha = jnp.where(valid_s, merged + emit, LOG_EPSILON)
         # Freeze once past this utterance's final frame so the end-read below
         # sees alpha at t = input_length-1.
@@ -85,7 +90,11 @@ def ctc_loss(log_probs: jnp.ndarray,
         new_alpha = jnp.where(active, new_alpha, alpha)
         return new_alpha, None
 
-    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, max_t, dtype=jnp.int32))
+    alpha, _ = jax.lax.scan(
+        step, alpha0,
+        (jnp.transpose(emit_all[:, 1:], (1, 0, 2)),
+         jnp.arange(1, max_t, dtype=jnp.int32)),
+        unroll=8)
 
     # loglik = logsumexp(alpha[2U], alpha[2U-1]); for U==0 only alpha[0].
     u = label_lengths.astype(jnp.int32)
