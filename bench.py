@@ -27,7 +27,7 @@ import jax.numpy as jnp
 BASELINE_AUDIO_S_PER_S = 720.0
 
 
-def _flagship():
+def _flagship(dtype=jnp.float32):
     from ppasr_tpu.models.factory import build_model
     return build_model(
         'conformer', 80, 4096, streaming=True,
@@ -36,7 +36,8 @@ def _flagship():
                           cnn_module_kernel=15),
         decoder_conf=dict(attention_heads=4, linear_units=1024,
                           num_blocks=3, r_num_blocks=3),
-        model_conf=dict(ctc_weight=0.3, lsm_weight=0.1, reverse_weight=0.3))
+        model_conf=dict(ctc_weight=0.3, lsm_weight=0.1, reverse_weight=0.3),
+        dtype=dtype)
 
 
 def _fence(x):
@@ -44,7 +45,12 @@ def _fence(x):
     _ = np.asarray(leaf.ravel()[:4])  # tiny on-device slice → host
 
 
-def bench_offline(model, params, iters=10, bsz=16, frames=1000):
+def bench_offline(params, iters=10, bsz=64, frames=1000):
+    """Offline batch encode on the production inference config: bf16
+    activations (the predictor's compute_dtype path; params stay f32),
+    B=64×10 s utterances — large enough that per-dispatch tunnel latency
+    (~3 ms/call unpipelined) is noise."""
+    model = _flagship(jnp.bfloat16)
     speech = jnp.asarray(
         np.random.default_rng(0).standard_normal((bsz, frames, 80)) * 0.3,
         jnp.float32)
@@ -173,7 +179,7 @@ def main():
         jnp.asarray([[1, 2, -1]], jnp.int32), jnp.asarray([2]),
         deterministic=False)
 
-    offline = bench_offline(model, params)
+    offline = bench_offline(params)
     lat_ms, stream_tp = bench_streaming(model, params)
     if os.environ.get('BENCH_FULL'):
         # heavy extras (compile time through the device tunnel is minutes)
