@@ -75,8 +75,17 @@ class PunctuationPredictor:
         with open(labels_path, 'r', encoding='utf-8') as f:
             self.labels = [line.rstrip('\n') for line in f]
         self.tok_to_id = {t: i for i, t in enumerate(self.vocab)}
+        # architecture overrides written by tools/train_punctuation.py
+        arch = {}
+        cfg_path = os.path.join(model_dir, 'pun_config.txt')
+        if os.path.exists(cfg_path):
+            with open(cfg_path, 'r') as f:
+                for line in f:
+                    if '=' in line:
+                        k, v = line.strip().split('=', 1)
+                        arch[k] = int(v)
         self.model = PunctuationModel(vocab_size=len(self.vocab),
-                                      num_labels=len(self.labels))
+                                      num_labels=len(self.labels), **arch)
         shape_params = jax.eval_shape(
             lambda: self.model.init(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 8), jnp.int32)))
