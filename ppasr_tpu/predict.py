@@ -535,10 +535,13 @@ class PPASRPredictor:
             return text
 
     def _inverse_text_normalization(self, text: str) -> str:
+        """WeTextProcessing when installed (the reference's ITN engine,
+        predict.py:350-356); in-repo rule-based Chinese ITN otherwise."""
         try:
             from itn.chinese.inverse_normalizer import InverseNormalizer
             if not hasattr(self, '_itn'):
                 self._itn = InverseNormalizer()
             return self._itn.normalize(text)
         except Exception:
-            return text
+            from ppasr_tpu.utils.itn import inverse_normalize
+            return inverse_normalize(text)
