@@ -181,6 +181,14 @@ def main():
 
     offline = bench_offline(params)
     lat_ms, stream_tp = bench_streaming(model, params)
+    cap_model = _flagship(jnp.bfloat16)
+    _, stream_cap = bench_streaming(cap_model, params, bsz=64)
+    print(json.dumps({
+        "metric": "streaming_capacity_b64_bf16",
+        "value": round(stream_cap, 2),
+        "unit": "audio-seconds/s/chip (64 concurrent streams, bf16)",
+        "vs_baseline": round(stream_cap / BASELINE_AUDIO_S_PER_S, 3)}),
+        file=sys.stderr)
     if os.environ.get('BENCH_FULL'):
         # heavy extras (compile time through the device tunnel is minutes)
         fe = bench_frontend()
