@@ -393,6 +393,30 @@ def pack_best_hypothesis(states: BeamState) -> jnp.ndarray:
         states.prefixes[bi, best]], axis=1)
 
 
+def all_hypotheses(states: BeamState, max_hyp_len: int):
+    """Every beam's hypothesis, device-side, for attention rescoring.
+
+    Returns (prefixes [B, K, max_hyp_len] int32, lengths [B, K] int32,
+    ctc_scores [B, K] f32). Dead beams carry NEG_INF scores."""
+    scores = _logaddexp(states.p_b, states.p_nb)
+    lengths = jnp.minimum(states.lengths, max_hyp_len)
+    prefixes = states.prefixes[:, :, :max_hyp_len]
+    return prefixes, lengths, scores
+
+
+def pack_hypothesis_at(states: BeamState, best: jnp.ndarray,
+                       scores: jnp.ndarray) -> jnp.ndarray:
+    """Pack the beam `best[b]` of each lane (with externally supplied
+    scores, e.g. rescored totals) into one int32 buffer [B, 2 + U_max] —
+    same layout as pack_best_hypothesis, one D2H transfer."""
+    bi = jnp.arange(best.shape[0])
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(
+            scores[bi, best].astype(jnp.float32), jnp.int32)[:, None],
+        states.lengths[bi, best][:, None],
+        states.prefixes[bi, best]], axis=1)
+
+
 def unpack_results(packed: np.ndarray, vocab_list):
     """Host side of pack_best_hypothesis → list of (score, text)."""
     packed = np.asarray(packed)
@@ -488,18 +512,21 @@ class JaxBeamSearchDecoder:
             return lp_blank, cand, cand_lp, lens
         self._jit_prep = jax.jit(prep)
 
-        def scan(lp_blank, cand, cand_lp, lens):
+        def scan_states(lp_blank, cand, cand_lp, lens):
             bsz = lp_blank.shape[0]
             init = jax.vmap(lambda _: init_beam_state(
                 self.beam_size, self.max_prefix_len))(jnp.arange(bsz))
-            final = _scan_candidates(
+            return _scan_candidates(
                 init, lp_blank, cand, cand_lp, lens, self.cutoff_top_n,
                 self.beam_size, self.lm_bigram, self.lm_unigram,
                 self.alpha, self.beta, self.merge_mode)
-            return pack_best_hypothesis(final)   # one packed D2H transfer
-        self._jit_scan = jax.jit(scan)
+        self._jit_scan_states = jax.jit(scan_states)
+        # one packed D2H transfer for the plain decode path
+        self._jit_scan = jax.jit(
+            lambda *a: pack_best_hypothesis(scan_states(*a)))
 
-    def decode_batch(self, probs_batch, lens):
+    def _prepped(self, probs_batch, lens):
+        """Candidate precompute + compaction + scan-length bucketing."""
         probs = jnp.asarray(probs_batch, jnp.float32)
         lens = jnp.asarray(np.asarray(lens), jnp.int32)
         self._build_fns()
@@ -514,8 +541,18 @@ class JaxBeamSearchDecoder:
                 lp_blank = lp_blank[:, :bucket]
                 cand = cand[:, :bucket]
                 cand_lp = cand_lp[:, :bucket]
+        return lp_blank, cand, cand_lp, lens
+
+    def decode_batch(self, probs_batch, lens):
+        lp_blank, cand, cand_lp, lens = self._prepped(probs_batch, lens)
         packed = self._jit_scan(lp_blank, cand, cand_lp, lens)
         return unpack_results(packed, self.vocab_list)
+
+    def decode_batch_states(self, probs_batch, lens) -> BeamState:
+        """Batch decode returning the device-resident BeamState (all K
+        hypotheses), for attention rescoring."""
+        lp_blank, cand, cand_lp, lens = self._prepped(probs_batch, lens)
+        return self._jit_scan_states(lp_blank, cand, cand_lp, lens)
 
     def decode(self, probs):
         probs = np.asarray(probs)

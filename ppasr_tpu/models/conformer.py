@@ -125,6 +125,25 @@ class ConformerModel(nn.Module):
         out_lens = encoder_mask[:, 0, :].sum(axis=-1).astype(jnp.int32)
         return log_probs, out_lens
 
+    def encode_for_rescore(self, speech, speech_lens):
+        """One forward producing both the encoder output (for attention
+        rescoring) and the CTC posteriors (for the beam's first pass).
+        Returns (encoder_out [B,T',D], probs [B,T',V], out_lens [B])."""
+        encoder_out, encoder_mask = self._encode_full(speech, speech_lens)
+        probs = self.ctc.softmax(encoder_out)
+        out_lens = encoder_mask[:, 0, :].sum(axis=-1).astype(jnp.int32)
+        return encoder_out, probs, out_lens
+
+    def attention_rescore_scores(self, encoder_out, encoder_lens,
+                                 hyps, hyps_lens):
+        """[B,K] attention log-prob scores of beam hypotheses
+        (ppasr_tpu/models/rescore.py; beyond-reference capability)."""
+        from ppasr_tpu.models.rescore import attention_rescore_scores
+        return attention_rescore_scores(self.decoder, encoder_out,
+                                        encoder_lens, hyps, hyps_lens,
+                                        self.sos, self.eos,
+                                        self.reverse_weight)
+
     def get_encoder_out_chunk(self, xs, state: StreamingState):
         """Streaming chunk step → (probs [B, T_out, V], new_state)
         (reference model.py:164-184)."""

@@ -558,6 +558,25 @@ class SqueezeformerModel(nn.Module):
         out_lens = encoder_mask[:, 0, :].sum(axis=-1).astype(jnp.int32)
         return log_probs, out_lens
 
+    def encode_for_rescore(self, speech, speech_lens):
+        """(encoder_out, CTC probs, out_lens) in one forward — see
+        ppasr_tpu/models/conformer.py:encode_for_rescore."""
+        encoder_out, encoder_mask = self.encoder(
+            speech, speech_lens,
+            decoding_chunk_size=-1 if self.streaming else 0)
+        probs = self.ctc.softmax(encoder_out)
+        out_lens = encoder_mask[:, 0, :].sum(axis=-1).astype(jnp.int32)
+        out_lens = jnp.minimum(out_lens, encoder_out.shape[1])
+        return encoder_out, probs, out_lens
+
+    def attention_rescore_scores(self, encoder_out, encoder_lens,
+                                 hyps, hyps_lens):
+        from ppasr_tpu.models.rescore import attention_rescore_scores
+        return attention_rescore_scores(self.decoder, encoder_out,
+                                        encoder_lens, hyps, hyps_lens,
+                                        self.sos, self.eos,
+                                        self.reverse_weight)
+
     def get_encoder_out_chunk(self, xs, state: SqueezeformerState):
         encoder_out, new_state = self.encoder.forward_chunk(xs, state)
         probs = self.ctc.softmax(encoder_out)

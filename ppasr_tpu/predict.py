@@ -65,6 +65,7 @@ class PPASRPredictor:
                   encoding='utf-8') as f:
             infer_conf = json.load(f)
         self.use_model = infer_conf['use_model']
+        self._model_conf = dict(infer_conf.get('model_conf') or {})
         self.streaming = infer_conf['streaming']
         self.input_dim = infer_conf['input_dim']
         self.vocab_size = infer_conf['vocab_size']
@@ -195,8 +196,34 @@ class PPASRPredictor:
 
     def _init_decoder(self):
         """Beam-search decoder with graceful greedy fallback (reference
-        predict.py:92-105). Backend 'jax' (default, on-device) or 'host'."""
+        predict.py:92-105). Backend 'jax' (default, on-device) or 'host'.
+        'attention_rescoring' (beyond-reference) rescores the beam with the
+        model's attention decoder — offline predict/predict_batch only;
+        streaming keeps the incremental greedy/beam decoders."""
         self._beam_decoder = None
+        self._rescorer = None
+        if self.decoder_name == 'attention_rescoring':
+            conf = dict(self.decoder_configs)
+            conf.pop('backend', None)
+            ctc_weight = conf.pop('rescore_ctc_weight',
+                                  self._model_conf.get('ctc_weight', 0.3))
+            max_hyp_len = conf.pop('max_hyp_len', 200)
+            try:
+                if self.use_model == 'deepspeech2':
+                    raise ValueError(
+                        "deepspeech2 has no attention decoder")
+                from ppasr_tpu.decoders.rescoring import \
+                    AttentionRescoringDecoder
+                self._rescorer = AttentionRescoringDecoder(
+                    self.model, self.vocab_list, ctc_weight=ctc_weight,
+                    max_hyp_len=max_hyp_len, **conf)
+                self._rescore_encode_fn = jax.jit(
+                    lambda p, s, l: self.model.apply(
+                        p, s, l, method='encode_for_rescore'))
+            except Exception as e:
+                logger.warning(f"attention rescoring unavailable ({e}); "
+                               f"falling back to ctc_greedy")
+                self.decoder_name = 'ctc_greedy'
         if self.decoder_name == 'ctc_beam_search':
             conf = dict(self.decoder_configs)
             backend = conf.pop('backend', 'jax')
@@ -272,10 +299,16 @@ class PPASRPredictor:
         feat = self.audio_featurizer.featurize(audio)
         padded, t = self._pad_bucket(feat)
         lens = jnp.asarray([t])
-        probs, olens = self._predict_fn(self.params, jnp.asarray(padded),
-                                        lens)
-        score, text = self._decode_offline(np.asarray(probs[0]),
-                                           int(olens[0]))
+        if self._rescorer is not None:
+            enc_out, probs, olens = self._rescore_encode_fn(
+                self.params, jnp.asarray(padded), lens)
+            score, text = self._rescorer.decode_batch_rescore(
+                self.params, enc_out, probs, np.asarray(olens))[0]
+        else:
+            probs, olens = self._predict_fn(self.params,
+                                            jnp.asarray(padded), lens)
+            score, text = self._decode_offline(np.asarray(probs[0]),
+                                               int(olens[0]))
         if use_pun:
             text = self._restore_punctuation(text)
         if is_itn:
@@ -302,14 +335,21 @@ class PPASRPredictor:
         for i, f in enumerate(feats):
             batch[i, :f.shape[0]] = f
             lens[i] = f.shape[0]
-        probs, olens = self._predict_fn(self.params, jnp.asarray(batch),
-                                        jnp.asarray(lens))
-        if self._beam_decoder is not None:
+        if self._rescorer is not None:
+            enc_out, probs, olens = self._rescore_encode_fn(
+                self.params, jnp.asarray(batch), jnp.asarray(lens))
+            results = self._rescorer.decode_batch_rescore(
+                self.params, enc_out, probs, np.asarray(olens))
+        elif self._beam_decoder is not None:
+            probs, olens = self._predict_fn(self.params, jnp.asarray(batch),
+                                            jnp.asarray(lens))
             # device arrays pass through as-is (JAX decoder stays on device)
             results = self._beam_decoder.decode_batch(probs,
                                                       np.asarray(olens))
         else:
             from ppasr_tpu.decoders.greedy import greedy_decoder_batch
+            probs, olens = self._predict_fn(self.params, jnp.asarray(batch),
+                                            jnp.asarray(lens))
             results = greedy_decoder_batch(np.asarray(probs),
                                            np.asarray(olens),
                                            self.vocab_list)

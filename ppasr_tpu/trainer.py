@@ -514,11 +514,35 @@ class PPASRTrainer:
                 break
         return state
 
-    def _build_eval_decoder(self, vocab):
+    def _build_eval_decoder(self, vocab, model=None):
         """ctc_beam_search with graceful greedy fallback (reference
         trainer.py:330-352). Backend 'jax' (default) runs the search on
-        device; 'host' runs the numpy decoder (full n-gram backoff)."""
-        if self.configs.get('decoder', 'ctc_greedy') != 'ctc_beam_search':
+        device; 'host' runs the numpy decoder (full n-gram backoff).
+        'attention_rescoring' (beyond-reference) additionally rescores the
+        beam with the model's attention decoder on device."""
+        name = self.configs.get('decoder', 'ctc_greedy')
+        if name == 'attention_rescoring':
+            conf = dict(self.configs.get('ctc_beam_search_decoder_conf', {})
+                        or {})
+            conf.pop('backend', None)
+            model_conf = dict(self.configs.get('model_conf', {}) or {})
+            ctc_weight = conf.pop('rescore_ctc_weight',
+                                  model_conf.get('ctc_weight', 0.3))
+            max_hyp_len = conf.pop('max_hyp_len', 200)
+            try:
+                if model is None or self.use_model == 'deepspeech2':
+                    raise ValueError(
+                        f"{self.use_model} has no attention decoder")
+                from ppasr_tpu.decoders.rescoring import \
+                    AttentionRescoringDecoder
+                return AttentionRescoringDecoder(
+                    model, vocab, ctc_weight=ctc_weight,
+                    max_hyp_len=max_hyp_len, **conf)
+            except Exception as e:
+                logger.warning(f"attention rescoring unavailable ({e}); "
+                               f"using greedy")
+                return None
+        if name != 'ctc_beam_search':
             return None
         conf = dict(self.configs.get('ctc_beam_search_decoder_conf', {})
                     or {})
@@ -573,6 +597,9 @@ class PPASRTrainer:
                 p, s, l, method='get_encoder_out'))
             self._eval_loss_fn = jax.jit(lambda p, s, l, t, tl: model.apply(
                 p, s, l, t, tl, deterministic=True)['loss'])
+            self._eval_rescore_fn = jax.jit(lambda p, s, l: model.apply(
+                p, s, l, method='encode_for_rescore')) \
+                if hasattr(model, 'encode_for_rescore') else None
             self._eval_decoder = None
         eval_fn = self._eval_fn
         loss_fn = self._eval_loss_fn
@@ -580,19 +607,31 @@ class PPASRTrainer:
         metrics_type = self.configs.get('metrics_type', 'cer')
         error_fn = cer if metrics_type == 'cer' else wer
         if self._eval_decoder is None:
-            self._eval_decoder = self._build_eval_decoder(vocab)
+            self._eval_decoder = self._build_eval_decoder(vocab, model)
         decoder = self._eval_decoder
+        rescoring = (decoder is not None
+                     and getattr(decoder, 'needs_encoder_out', False)
+                     and self._eval_rescore_fn is not None)
         errors, losses = [], []
         for i, (inputs, labels, in_lens, lab_lens) in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
-            probs, olens = eval_fn(params, jnp.asarray(inputs),
-                                   jnp.asarray(in_lens))
+            encoder_out = None
+            if rescoring:
+                encoder_out, probs, olens = self._eval_rescore_fn(
+                    params, jnp.asarray(inputs), jnp.asarray(in_lens))
+            else:
+                probs, olens = eval_fn(params, jnp.asarray(inputs),
+                                       jnp.asarray(in_lens))
             losses.append(float(loss_fn(params, jnp.asarray(inputs),
                                         jnp.asarray(in_lens),
                                         jnp.asarray(labels),
                                         jnp.asarray(lab_lens))))
-            if decoder is not None:
+            if rescoring:
+                results = decoder.decode_batch_rescore(
+                    params, encoder_out, probs, np.asarray(olens))
+            elif decoder is not None and not getattr(
+                    decoder, 'needs_encoder_out', False):
                 # device arrays pass through as-is: the JAX decoder keeps
                 # the [B,T,V] posteriors on device, host decoders convert
                 results = decoder.decode_batch(probs, np.asarray(olens))
