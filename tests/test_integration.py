@@ -112,6 +112,21 @@ def test_full_pipeline(workspace):
     assert 'text' in result
     predictor.reset_stream()
 
+    # attention rescoring (beyond-reference decode mode) over the same
+    # trained artifacts: trainer eval + offline predict
+    rescore_cfg = dict(workspace)
+    rescore_cfg['decoder'] = 'attention_rescoring'
+    rescore_cfg['ctc_beam_search_decoder_conf'] = {
+        'beam_size': 5, 'cutoff_prob': 1.0, 'cutoff_top_n': 7,
+        'alpha': 0.0, 'beta': 0.0}
+    trainer_rs = PPASRTrainer(configs=rescore_cfg)
+    err_rs, loss_rs = trainer_rs.evaluate(resume_model='models/')
+    assert np.isfinite(loss_rs) and np.isfinite(err_rs)
+    predictor_rs = PPASRPredictor(configs=rescore_cfg, model_path=infer_dir)
+    assert predictor_rs._rescorer is not None, "rescorer fell back"
+    result_rs = predictor_rs.predict(FIXTURE)
+    assert 'text' in result_rs and np.isfinite(result_rs['score'])
+
 
 def test_vad_segmentation_energy_backend():
     """The dependency-free energy fallback segments loud-vs-quiet audio."""

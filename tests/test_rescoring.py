@@ -118,6 +118,52 @@ def test_rescoring_decoder_end_to_end():
         assert isinstance(text, str)
 
 
+def test_zoo_models_rescore():
+    """Squeezeformer and EfficientConformer expose the same rescoring
+    surface (shared helper, own encoders)."""
+    rng = np.random.default_rng(4)
+    speech = jnp.asarray(rng.standard_normal((1, 64, 16)) * 0.3, jnp.float32)
+    lens = jnp.asarray([64])
+    zoo = {
+        'squeezeformer': dict(
+            encoder_conf=dict(encoder_dim=16, output_size=16,
+                              attention_heads=2, num_blocks=2, reduce_idx=0,
+                              recover_idx=1,
+                              feed_forward_expansion_factor=2,
+                              cnn_module_kernel=7),
+            decoder_conf=dict(attention_heads=2, linear_units=32,
+                              num_blocks=1, r_num_blocks=1)),
+        'efficient_conformer': dict(
+            encoder_conf=dict(output_size=16, attention_heads=2,
+                              linear_units=32, num_blocks=2,
+                              cnn_module_kernel=7,
+                              efficient_conf=dict(stride_layer_idx=[0],
+                                                  stride=[2],
+                                                  group_layer_idx=[])),
+            decoder_conf=dict(attention_heads=2, linear_units=32,
+                              num_blocks=1, r_num_blocks=1)),
+    }
+    for name, confs in zoo.items():
+        model = build_model(name, 16, V, streaming=False,
+                            model_conf=dict(ctc_weight=0.3, lsm_weight=0.1,
+                                            reverse_weight=0.3), **confs)
+        rngk = jax.random.PRNGKey(0)
+        params = model.init({'params': rngk, 'dropout': rngk, 'chunk': rngk},
+                            jnp.zeros((1, 64, 16), jnp.float32),
+                            jnp.asarray([64]),
+                            jnp.asarray([[1, 2, -1]], jnp.int32),
+                            jnp.asarray([2]), deterministic=True)
+        enc_out, probs, olens = model.apply(params, speech, lens,
+                                            method='encode_for_rescore')
+        dec = AttentionRescoringDecoder(
+            model, VOCAB, ctc_weight=0.3, max_hyp_len=16, beam_size=4,
+            cutoff_prob=1.0, cutoff_top_n=V, alpha=0, beta=0,
+            blank_skip_threshold=1.0)
+        results = dec.decode_batch_rescore(params, enc_out, probs,
+                                           np.asarray(olens))
+        assert len(results) == 1 and np.isfinite(results[0][0]), name
+
+
 def test_huge_ctc_weight_recovers_beam_best():
     """With ctc_weight >> att scale, rescoring must select the CTC-best
     hypothesis — ties the two pipelines together."""
