@@ -151,6 +151,14 @@ class ConformerModel(nn.Module):
         probs = self.ctc.softmax(encoder_out)
         return probs, new_state
 
+    def get_encoder_out_chunk_rescore(self, xs, state: StreamingState):
+        """Chunk step that also exposes the encoder output, so streaming
+        sessions can run a final attention-rescoring pass over the
+        accumulated utterance → (encoder_out, probs, new_state)."""
+        encoder_out, new_state = self.encoder.forward_chunk(xs, state)
+        probs = self.ctc.softmax(encoder_out)
+        return encoder_out, probs, new_state
+
     def init_state(self, batch_size: int, cache_size: int) -> StreamingState:
         conf = dict(self.encoder_conf or {})
         num_blocks = int(conf.get('num_blocks', 12))

@@ -691,6 +691,12 @@ class EfficientConformerModel(nn.Module):
         probs = self.ctc.softmax(encoder_out)
         return probs, new_state
 
+    def get_encoder_out_chunk_rescore(self, xs, state: EffConState):
+        """(encoder_out, probs, new_state) — see conformer.py."""
+        encoder_out, new_state = self.encoder.forward_chunk(xs, state)
+        probs = self.ctc.softmax(encoder_out)
+        return encoder_out, probs, new_state
+
     def init_state(self, batch_size: int, cache_size: int) -> EffConState:
         conf = self._flatten_conf(self.encoder_conf)
         num_blocks = int(conf.get('num_blocks', 12))

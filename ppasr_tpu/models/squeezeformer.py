@@ -582,6 +582,12 @@ class SqueezeformerModel(nn.Module):
         probs = self.ctc.softmax(encoder_out)
         return probs, new_state
 
+    def get_encoder_out_chunk_rescore(self, xs, state: SqueezeformerState):
+        """(encoder_out, probs, new_state) — see conformer.py."""
+        encoder_out, new_state = self.encoder.forward_chunk(xs, state)
+        probs = self.ctc.softmax(encoder_out)
+        return encoder_out, probs, new_state
+
     def init_state(self, batch_size: int, cache_size: int
                    ) -> SqueezeformerState:
         # shapes computed from config directly (no module construction —

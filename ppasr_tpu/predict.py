@@ -198,10 +198,12 @@ class PPASRPredictor:
         """Beam-search decoder with graceful greedy fallback (reference
         predict.py:92-105). Backend 'jax' (default, on-device) or 'host'.
         'attention_rescoring' (beyond-reference) rescores the beam with the
-        model's attention decoder — offline predict/predict_batch only;
-        streaming keeps the incremental greedy/beam decoders."""
+        model's attention decoder: offline predict/predict_batch, plus a
+        final rescoring pass at is_end for streaming sessions (partial
+        results stay incremental greedy)."""
         self._beam_decoder = None
         self._rescorer = None
+        self._chunk_fn_rescore = None
         if self.decoder_name == 'attention_rescoring':
             conf = dict(self.decoder_configs)
             conf.pop('backend', None)
@@ -220,6 +222,13 @@ class PPASRPredictor:
                 self._rescore_encode_fn = jax.jit(
                     lambda p, s, l: self.model.apply(
                         p, s, l, method='encode_for_rescore'))
+                if self.streaming:
+                    # streaming chunk fn that also yields encoder output,
+                    # so is_end can run a final rescoring pass
+                    self._chunk_fn_rescore = jax.jit(
+                        lambda p, x, st: self.model.apply(
+                            p, x, st,
+                            method='get_encoder_out_chunk_rescore'))
             except Exception as e:
                 logger.warning(f"attention rescoring unavailable ({e}); "
                                f"falling back to ctc_greedy")
@@ -399,6 +408,8 @@ class PPASRPredictor:
         self._state = None
         self._stream_sq_sum = 0.0
         self._stream_n = 0
+        self._stream_enc_chunks = []
+        self._stream_probs_chunks = []
         self._stream_decoder = GreedyStreamingDecoder(self.vocab_list)
         if self._beam_decoder is not None:
             self._beam_decoder.reset()
@@ -480,6 +491,11 @@ class PPASRPredictor:
                 self._beam_decoder.current()
             result_score, result_text = score, text
 
+        if is_end:
+            final = self._final_stream_rescore()
+            if final is not None:
+                result_score, result_text = final
+
         text = result_text or ''
         if use_pun and text:
             text = self._restore_punctuation(text)
@@ -519,6 +535,10 @@ class PPASRPredictor:
         if result_text is None:
             dec = self._beam_decoder or self._stream_decoder
             result_score, result_text = dec.current()
+        if is_end:
+            final = self._final_stream_rescore()
+            if final is not None:
+                result_score, result_text = final
         return {'text': result_text or '', 'score': result_score or 0.0}
 
     def _stream_gain_offset(self) -> float:
@@ -555,9 +575,37 @@ class PPASRPredictor:
             # efficient_conformer stride layers further reduce time
             out_factor = getattr(self.model, 'output_factor', 1)
             valid_out = (valid_out + out_factor - 1) // out_factor
-            probs, self._state = self._chunk_fn(self.params, xs, self._state)
+            if self._chunk_fn_rescore is not None:
+                enc, probs, self._state = self._chunk_fn_rescore(
+                    self.params, xs, self._state)
+                self._stream_enc_chunks.append(
+                    np.asarray(enc[0][:valid_out], np.float32))
+            else:
+                probs, self._state = self._chunk_fn(self.params, xs,
+                                                    self._state)
             out = np.asarray(probs[0][:valid_out])
+            if self._chunk_fn_rescore is not None:
+                self._stream_probs_chunks.append(out.astype(np.float32))
         return out
+
+    def _final_stream_rescore(self):
+        """is_end hook: one attention-rescoring pass over the accumulated
+        utterance (encoder outputs + CTC posteriors collected per chunk).
+        Returns (score, text) or None when rescoring is inactive/empty."""
+        if self._rescorer is None or not self._stream_probs_chunks:
+            return None
+        probs = np.concatenate(self._stream_probs_chunks, axis=0)
+        enc = np.concatenate(self._stream_enc_chunks, axis=0)
+        t = probs.shape[0]
+        bucket = max(16, int(math.ceil(t / 64)) * 64)
+        probs_p = np.zeros((1, bucket, probs.shape[1]), np.float32)
+        probs_p[0, :t] = probs
+        enc_p = np.zeros((1, bucket, enc.shape[1]), np.float32)
+        enc_p[0, :t] = enc
+        results = self._rescorer.decode_batch_rescore(
+            self.params, jnp.asarray(enc_p), jnp.asarray(probs_p),
+            np.asarray([t], np.int32))
+        return results[0]
 
     # ------------------------------------------------- punctuation & itn
 

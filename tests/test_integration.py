@@ -127,6 +127,19 @@ def test_full_pipeline(workspace):
     result_rs = predictor_rs.predict(FIXTURE)
     assert 'text' in result_rs and np.isfinite(result_rs['score'])
 
+    # streaming session: incremental greedy partials, one final rescoring
+    # pass over the accumulated utterance at is_end
+    seg_rs = AudioSegment.from_file(FIXTURE)
+    for i in range(0, 32000, 8000):
+        predictor_rs.predict_stream(seg_rs.samples[i:i + 8000],
+                                    is_end=False)
+    assert predictor_rs._stream_probs_chunks, "no chunks accumulated"
+    result_rs_stream = predictor_rs.predict_stream(b'', is_end=True)
+    assert 'text' in result_rs_stream
+    assert np.isfinite(result_rs_stream['score'])
+    predictor_rs.reset_stream()
+    assert not predictor_rs._stream_probs_chunks
+
 
 def test_vad_segmentation_energy_backend():
     """The dependency-free energy fallback segments loud-vs-quiet audio."""
