@@ -67,3 +67,20 @@ class AttentionRescoringDecoder:
         lens_dev = jnp.asarray(np.asarray(lens), jnp.int32)
         packed = self._jit_score(params, encoder_out, lens_dev, states)
         return unpack_results(packed, self.vocab_list)
+
+    def rescore_utterance(self, params, enc_chunks, probs_chunks):
+        """Final pass for one streamed utterance: lists of per-chunk
+        [T_i, D] encoder outputs and [T_i, V] posteriors (host) →
+        (score, text). Time is padded to a 64-frame bucket so repeated
+        stream endings reuse a handful of compiled programs."""
+        probs = np.concatenate(probs_chunks, axis=0)
+        enc = np.concatenate(enc_chunks, axis=0)
+        t = probs.shape[0]
+        bucket = max(16, -(-t // 64) * 64)
+        probs_p = np.zeros((1, bucket, probs.shape[1]), np.float32)
+        probs_p[0, :t] = probs
+        enc_p = np.zeros((1, bucket, enc.shape[1]), np.float32)
+        enc_p[0, :t] = enc
+        return self.decode_batch_rescore(
+            params, jnp.asarray(enc_p), jnp.asarray(probs_p),
+            np.asarray([t], np.int32))[0]

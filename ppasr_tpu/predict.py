@@ -594,18 +594,8 @@ class PPASRPredictor:
         Returns (score, text) or None when rescoring is inactive/empty."""
         if self._rescorer is None or not self._stream_probs_chunks:
             return None
-        probs = np.concatenate(self._stream_probs_chunks, axis=0)
-        enc = np.concatenate(self._stream_enc_chunks, axis=0)
-        t = probs.shape[0]
-        bucket = max(16, int(math.ceil(t / 64)) * 64)
-        probs_p = np.zeros((1, bucket, probs.shape[1]), np.float32)
-        probs_p[0, :t] = probs
-        enc_p = np.zeros((1, bucket, enc.shape[1]), np.float32)
-        enc_p[0, :t] = enc
-        results = self._rescorer.decode_batch_rescore(
-            self.params, jnp.asarray(enc_p), jnp.asarray(probs_p),
-            np.asarray([t], np.int32))
-        return results[0]
+        return self._rescorer.rescore_utterance(
+            self.params, self._stream_enc_chunks, self._stream_probs_chunks)
 
     # ------------------------------------------------- punctuation & itn
 

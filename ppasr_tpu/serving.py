@@ -44,6 +44,12 @@ class StreamingBatchEngine:
         else:
             self._batch_state = self.model.init_state(
                 max_streams, predictor.cache_size)
+        # attention rescoring at stream end: reuse the predictor's rescorer
+        # and the encoder-exposing chunk step (conformer.py:
+        # get_encoder_out_chunk_rescore)
+        self._rescorer = getattr(predictor, '_rescorer', None)
+        if predictor.use_model == 'deepspeech2':
+            self._rescorer = None
         self._chunk_fn = jax.jit(self._step)
         self._select_fn = jax.jit(self._select)
 
@@ -53,21 +59,27 @@ class StreamingBatchEngine:
         self._wav_tail = {}    # slot -> un-framed samples
         self._decoders = {}    # slot -> GreedyStreamingDecoder
         self._gain = {}        # slot -> [sq_sum, n]
+        self._rescore_chunks = {}  # slot -> ([enc...], [probs...])
 
     # ------------------------------------------------------------ jitted fns
 
     def _step(self, params, windows, state):
-        """One batched chunk step: windows [S, W, D] → probs [S, T, V]."""
+        """One batched chunk step: windows [S, W, D] →
+        (enc_or_None, probs [S, T, V], new_state)."""
         if self.p.use_model == 'deepspeech2':
             lens = jnp.full((windows.shape[0],), windows.shape[1],
                             jnp.int32)
             probs, _, new_state = self.model.apply(
                 params, windows, lens, state,
                 method='get_encoder_out_chunk')
-        else:
-            probs, new_state = self.model.apply(
-                params, windows, state, method='get_encoder_out_chunk')
-        return probs, new_state
+            return None, probs, new_state
+        if self._rescorer is not None:
+            return self.model.apply(
+                params, windows, state,
+                method='get_encoder_out_chunk_rescore')
+        probs, new_state = self.model.apply(
+            params, windows, state, method='get_encoder_out_chunk')
+        return None, probs, new_state
 
     @staticmethod
     def stream_axes(state):
@@ -120,13 +132,15 @@ class StreamingBatchEngine:
             self._wav_tail[slot] = np.zeros(0, np.float32)
             self._decoders[slot] = GreedyStreamingDecoder(self.p.vocab_list)
             self._gain[slot] = [0.0, 0]
+            if self._rescorer is not None:
+                self._rescore_chunks[slot] = ([], [])
             self._zero_slot(slot)
         return slot
 
     def close_stream(self, slot: int):
         with self._lock:
             for d in (self._buffers, self._wav_tail, self._decoders,
-                      self._gain):
+                      self._gain, self._rescore_chunks):
                 d.pop(slot, None)
             if slot not in self._free:
                 self._free.append(slot)
@@ -176,6 +190,15 @@ class StreamingBatchEngine:
 
             self._tick(flush_slot=slot if is_end else None)
             score, text = self._decoders[slot].current()
+            if is_end and self._rescorer is not None:
+                encs, prbs = self._rescore_chunks.get(slot, ([], []))
+                if prbs:
+                    # final attention-rescoring pass over this stream's
+                    # accumulated utterance (other streams keep ticking
+                    # once the lock is released)
+                    score, text = self._rescorer.rescore_utterance(
+                        self.params, encs, prbs)
+                    self._rescore_chunks[slot] = ([], [])
         return {'text': text, 'score': score}
 
     # ------------------------------------------------------------------ tick
@@ -214,15 +237,20 @@ class StreamingBatchEngine:
             if not ready:
                 return
             mask = jnp.asarray(valid > 0)
-            probs, new_state = self._chunk_fn(self.params,
-                                              jnp.asarray(windows),
-                                              self._batch_state)
+            enc, probs, new_state = self._chunk_fn(self.params,
+                                                   jnp.asarray(windows),
+                                                   self._batch_state)
             self._batch_state = self._select_fn(mask, new_state,
                                                 self._batch_state)
             probs_np = np.asarray(probs)
+            enc_np = np.asarray(enc, np.float32) if enc is not None else None
             out_factor = getattr(self.model, 'output_factor', 1)
             for slot in ready:
                 t = int(valid[slot])
                 n_out = ((t - ctx) // self.p.subsampling) + 1
                 n_out = max((n_out + out_factor - 1) // out_factor, 0)
                 self._decoders[slot].decode_chunk(probs_np[slot][:n_out])
+                if enc_np is not None and slot in self._rescore_chunks:
+                    encs, prbs = self._rescore_chunks[slot]
+                    encs.append(enc_np[slot][:n_out])
+                    prbs.append(probs_np[slot][:n_out].astype(np.float32))

@@ -140,6 +140,18 @@ def test_full_pipeline(workspace):
     predictor_rs.reset_stream()
     assert not predictor_rs._stream_probs_chunks
 
+    # batched multi-stream engine: same final rescoring pass per stream end
+    from ppasr_tpu.serving import StreamingBatchEngine
+    engine = StreamingBatchEngine(predictor_rs, max_streams=2)
+    assert engine._rescorer is not None
+    slot = engine.open_stream()
+    for i in range(0, 24000, 8000):
+        engine.feed(slot, seg_rs.samples[i:i + 8000], is_end=False)
+    final = engine.feed(slot, seg_rs.samples[24000:32000], is_end=True)
+    assert 'text' in final and np.isfinite(final['score'])
+    assert engine._rescore_chunks[slot] == ([], [])
+    engine.close_stream(slot)
+
 
 def test_vad_segmentation_energy_backend():
     """The dependency-free energy fallback segments loud-vs-quiet audio."""
