@@ -15,9 +15,12 @@ Two-phase design (the vocab-sized work is hoisted out of the scan):
   Phase 2 — the beam scan, per step (beam K, candidates N):
     1. K "stay" candidates (same prefix: blank path + repeat-last path) and
        K·N "extend" candidates (prefix + c, with CTC's repeat/blank rules);
-    2. prefixes are identified by a 32-bit rolling hash; the pooled
-       candidates are sorted by hash and equal-hash entries merged with a
-       segment logsumexp (order-independent dedup — SURVEY.md §7.3);
+    2. prefixes are identified by a 32-bit rolling hash; duplicates are
+       merged (order-independent dedup — SURVEY.md §7.3) by the default
+       'match' mode — a [K·N, K] stay↔extend hash-equality compare +
+       masked logsumexp, exploiting that stay-stay and extend-extend
+       duplicates are structurally impossible — or by 'sort' mode
+       (sort-by-hash + neighbor pair-merge; same math, ~40% slower);
     3. top-K by total probability re-forms the beam; prefix token storage
        is gathered alongside.
 
@@ -131,7 +134,7 @@ def compact_blank_frames(probs: jnp.ndarray, lens: jnp.ndarray,
 # --------------------------------------------------------------- phase 2
 
 def _beam_step(state: BeamState, lp_blank, cand, cand_lp, top_n, beam_size,
-               lm_bigram, lm_unigram, alpha, beta, merge_mode='sort'):
+               lm_bigram, lm_unigram, alpha, beta, merge_mode='match'):
     """One time step for one utterance, over precomputed candidates.
     lp_blank: scalar; cand/cand_lp: [N]."""
     k = beam_size
@@ -193,7 +196,40 @@ def _beam_step(state: BeamState, lp_blank, cand, cand_lp, top_n, beam_size,
     pool_hash = jnp.where(alive, pool_hash, jnp.uint32(0xFFFFFFFF))
 
     m = pool_hash.shape[0]
-    if merge_mode == 'sort':
+    if merge_mode == 'match':
+        # --- exact merge without sorting: a duplicate can only pair a STAY
+        # entry with an EXTEND entry. Stay prefixes are pairwise distinct
+        # (the beam invariant) and extend prefixes are pairwise distinct
+        # (P_i + c == P_j + c' forces c == c' and then P_i == P_j). So the
+        # merge is: for each extend, find the stay with equal hash, fold its
+        # mass into that stay, kill the extend. [K·N, K] hash compares +
+        # one masked logsumexp replace the O(M log² M) bitonic sort; the
+        # only deviation is 32-bit hash collisions, same caveat as 'sort'
+        # (and strictly fewer collision pairings, since ext-ext runs are
+        # impossible here).
+        stay_alive = p_tot > NEG_INF / 2
+        ext_alive = alive[k:]
+        stay_hash = jnp.where(stay_alive, state.hashes,
+                              jnp.uint32(0xFFFFFFFF))
+        ext_hash_flat = jnp.where(ext_alive, ext_hash.reshape(-1),
+                                  jnp.uint32(0xFFFFFFFE))
+        hit = ext_hash_flat[:, None] == stay_hash[None, :]     # [K·N, K]
+        ext_vals = pool_p_nb[k:]                               # [K·N]
+        fold_max = jnp.max(jnp.where(hit, ext_vals[:, None], NEG_INF),
+                           axis=0)                             # [K]
+        safe = jnp.where(fold_max > NEG_INF / 2, fold_max, 0.0)
+        fold_sum = jnp.sum(
+            jnp.where(hit, jnp.exp(ext_vals[:, None] - safe[None, :]), 0.0),
+            axis=0)
+        folded = jnp.where(fold_max > NEG_INF / 2,
+                           safe + jnp.log(jnp.maximum(fold_sum, 1e-38)),
+                           NEG_INF)
+        merged_p_b = pool_p_b  # extends carry NEG_INF p_b already
+        merged_p_nb = jnp.concatenate([
+            _logaddexp(pool_p_nb[:k], folded),
+            jnp.where(jnp.any(hit, axis=1), NEG_INF, ext_vals)])
+        order = None
+    elif merge_mode == 'sort':
         # --- exact merge: sort by hash, then a NEIGHBOR pair-merge.
         # Beams always hold distinct prefixes, so any prefix appears in the
         # pool at most twice: once as a stay (beam already = P) and once as
@@ -301,7 +337,7 @@ def beam_search_step_batch(states: BeamState, probs_t: jnp.ndarray,
                            lm_bigram=None, lm_unigram=None,
                            alpha: float = 2.2, beta: float = 4.3,
                            max_prefix_len: int = 0,
-                           merge_mode: str = 'sort'):
+                           merge_mode: str = 'match'):
     """One decode step over the whole batch.
     probs_t: [B, V]; active: [B] bool (frame < utterance length)."""
     lp_blank, cand, cand_lp = precompute_candidates(
@@ -340,7 +376,7 @@ def ctc_beam_search_jax(probs: jnp.ndarray, lens: jnp.ndarray,
                         alpha: float = 2.2, beta: float = 4.3,
                         max_prefix_len: Optional[int] = None,
                         blank_skip_threshold: float = 1.0,
-                        merge_mode: str = 'sort'):
+                        merge_mode: str = 'match'):
     """Batch offline decode: [B, T, V] probs + [B] lens → BeamState batch.
 
     The scan runs fully on device; convert with ``beam_state_to_results``.
@@ -368,7 +404,7 @@ def ctc_beam_search_jax_continue(states: BeamState, probs, lens,
                                  lm_bigram=None, lm_unigram=None,
                                  alpha: float = 2.2, beta: float = 4.3,
                                  max_prefix_len: int = 0,
-                                 merge_mode: str = 'sort'):
+                                 merge_mode: str = 'match'):
     """Continue decoding from an existing BeamState (streaming)."""
     lp_blank, cand, cand_lp = precompute_candidates(
         probs, blank, cutoff_top_n, cutoff_prob)
@@ -448,7 +484,7 @@ class JaxBeamSearchDecoder:
                  language_model_path: str = None,
                  max_prefix_len: int = 512,
                  blank_skip_threshold: float = 0.98,
-                 merge_mode: str = 'sort', **_):
+                 merge_mode: str = 'match', **_):
         self.vocab_list = list(vocab_list)
         self.alpha = alpha
         self.beta = beta

@@ -79,3 +79,26 @@ ngram 1=2
                                    cutoff_top_n=3, alpha=2.0, beta=0,
                                    language_model_path=str(arpa))
     assert with_lm.decode(probs)[1] == 'b'
+
+
+def test_match_merge_equals_sort_merge():
+    """The default 'match' merge (stay↔extend hash compare) must agree with
+    the 'sort' merge (sort + neighbor pair-merge) and the host oracle —
+    both are exact up to 32-bit hash collisions."""
+    rng = np.random.default_rng(7)
+    t = 40
+    probs = rng.dirichlet(np.ones(V) * 0.4, size=(3, t)).astype(np.float32)
+    lens = jnp.asarray([t, t - 9, t])
+    out = {}
+    for mode in ('match', 'sort'):
+        dev = ctc_beam_search_jax(jnp.asarray(probs), lens, beam_size=10,
+                                  cutoff_top_n=20, cutoff_prob=0.99,
+                                  merge_mode=mode)
+        out[mode] = beam_state_to_results(dev, VOCAB)
+    for (s_m, t_m), (s_s, t_s) in zip(out['match'], out['sort']):
+        assert t_m == t_s
+        assert abs(s_m - s_s) < 1e-4
+    host = ctc_prefix_beam_search(probs[1, :t - 9].astype(np.float64),
+                                  beam_size=10, blank=0, cutoff_prob=0.99,
+                                  cutoff_top_n=20)
+    assert out['match'][1][1] == ''.join(VOCAB[i] for i in host[0][1])
