@@ -126,7 +126,10 @@ def bench_train_step(model, params, iters=5, bsz=32, frames=1000):
     tx = optax.adamw(1e-4)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params))
-    step_fn = jax.jit(make_train_step(model, tx, accum_grad=1))
+    # donate_argnums matches the production trainer jit: params/opt-state
+    # update in place instead of allocating fresh buffers each step
+    step_fn = jax.jit(make_train_step(model, tx, accum_grad=1),
+                      donate_argnums=0)
     batch = {
         'speech': jnp.asarray(np.random.default_rng(3).standard_normal(
             (1, bsz, frames, 80)) * 0.3, jnp.float32),

@@ -17,7 +17,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ppasr_tpu.models.base import kaiming_uniform
+from ppasr_tpu.models.base import Dropout, kaiming_uniform
 
 
 def _neg_inf(dtype):
@@ -52,7 +52,7 @@ class MultiHeadedAttention(nn.Module):
         self.linear_k = nn.Dense(self.n_feat, **d)
         self.linear_v = nn.Dense(self.n_feat, **d)
         self.linear_out = nn.Dense(self.n_feat, **d)
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
         if self.rel_pos:
             self.linear_pos = nn.Dense(self.n_feat, use_bias=self.pos_bias,
                                        **d)

@@ -49,3 +49,35 @@ class GlobalCMVN(nn.Module):
         return (x - mean) * istd
 
 
+
+
+class Dropout(nn.Module):
+    """Drop-in replacement for ``flax.linen.Dropout`` that draws the keep
+    mask from uint8 random bits instead of 32-bit bernoulli words.
+
+    Dropout is the only consumer of device RNG in training and mask-bit
+    generation is pure bandwidth: threefry masks once cost as much as the
+    whole fwd+bwd at B=32, the hardware rbg generator brought that to
+    ~2.5 ms/step, and 8-bit draws quarter the generated bits again. The
+    keep probability is quantized to q/256 and kept values are divided by
+    exactly q/256, so the estimator stays unbiased (the realized dropout
+    rate moves by <0.2% absolute, irrelevant to regularization).
+    """
+    rate: float
+    deterministic: bool = None
+
+    @nn.compact
+    def __call__(self, x, deterministic=None):
+        deterministic = nn.merge_param(
+            'deterministic', self.deterministic, deterministic)
+        if deterministic or self.rate == 0.0:
+            return x
+        if self.rate >= 1.0:
+            return jnp.zeros_like(x)
+        q = min(255, max(1, round((1.0 - self.rate) * 256)))
+        keep_prob = q / 256.0
+        import jax
+        bits = jax.random.bits(self.make_rng('dropout'), x.shape,
+                               dtype=jnp.uint8)
+        return jnp.where(bits < q, x / keep_prob,
+                         jnp.zeros((), x.dtype)).astype(x.dtype)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ppasr_tpu.models.attention import MultiHeadedAttention
-from ppasr_tpu.models.base import GlobalCMVN, get_activation
+from ppasr_tpu.models.base import Dropout, GlobalCMVN, get_activation
 from ppasr_tpu.models.convolution import ConvolutionModule
 from ppasr_tpu.models.embedding import sinusoid_table
 from ppasr_tpu.models.positionwise import PositionwiseFeedForward
@@ -74,7 +74,7 @@ class ConformerEncoderLayer(nn.Module):
     def __call__(self, x, mask, pos_emb, mask_pad=None, kv_cache=None,
                  cnn_cache=None, deterministic=True):
         ff_scale = 0.5 if self.macaron_style else 1.0
-        dropout = nn.Dropout(self.dropout_rate)
+        dropout = Dropout(self.dropout_rate)
 
         if self.macaron_style:
             residual = x
@@ -183,7 +183,7 @@ class ConformerEncoder(nn.Module):
         if self.cmvn_mean is not None:
             self.global_cmvn = GlobalCMVN(self.cmvn_mean, self.cmvn_istd)
         self.embed = cls(self.output_size, dtype=self.dtype)
-        self.pos_dropout = nn.Dropout(self.positional_dropout_rate)
+        self.pos_dropout = Dropout(self.positional_dropout_rate)
         layer_cls = ConformerEncoderLayer
         if self.remat:
             # deterministic (arg 7, counting self=0) is a static python bool

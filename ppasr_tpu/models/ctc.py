@@ -8,7 +8,7 @@ argmax inference heads); the loss itself is the in-house log-semiring scan
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ppasr_tpu.models.base import kaiming_uniform
+from ppasr_tpu.models.base import Dropout, kaiming_uniform
 from ppasr_tpu.ops.ctc import ctc_loss
 
 
@@ -27,7 +27,7 @@ class CTCHead(nn.Module):
 
     @nn.compact
     def logits(self, encoder_out, deterministic=True):
-        x = nn.Dropout(self.dropout_rate)(encoder_out,
+        x = Dropout(self.dropout_rate)(encoder_out,
                                           deterministic=deterministic)
         return nn.Dense(self.vocab_size, kernel_init=kaiming_uniform,
                         dtype=self.dtype, name='ctc_lo')(x)

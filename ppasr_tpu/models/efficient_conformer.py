@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ppasr_tpu.models.attention import MultiHeadedAttention, _neg_inf
-from ppasr_tpu.models.base import GlobalCMVN, get_activation, kaiming_uniform
+from ppasr_tpu.models.base import Dropout, GlobalCMVN, get_activation, kaiming_uniform
 from ppasr_tpu.models.convolution import ConvolutionModule
 from ppasr_tpu.models.ctc import CTCHead
 from ppasr_tpu.models.embedding import sinusoid_table
@@ -86,7 +86,7 @@ class GroupedRelPositionAttention(nn.Module):
         self.linear_v = nn.Dense(self.n_feat, **d)
         self.linear_out = nn.Dense(self.n_feat, **d)
         self.linear_pos = nn.Dense(self.n_feat, **d)
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
         self.pos_bias_u = self.param(
             'pos_bias_u', nn.initializers.xavier_uniform(),
             (self.n_head, self.d_k * self.group_size))
@@ -186,7 +186,7 @@ class EffConLayer(nn.Module):
     def __call__(self, x, mask, pos_emb, mask_pad=None, kv_cache=None,
                  cnn_cache=None, deterministic=True):
         ff_scale = 0.5 if self.macaron_style else 1.0
-        dropout = nn.Dropout(self.dropout_rate)
+        dropout = Dropout(self.dropout_rate)
 
         if self.macaron_style:
             residual = x
@@ -406,7 +406,7 @@ class EfficientConformerEncoder(nn.Module):
         else:
             self.embed = SUBSAMPLING_CLASSES[self.input_layer](
                 self.output_size, dtype=self.dtype)
-        self.pos_dropout = nn.Dropout(self.positional_dropout_rate)
+        self.pos_dropout = Dropout(self.positional_dropout_rate)
         act = get_activation(self.activation_type)
         stride_idx = _as_list(self.stride_layer_idx)
         strides = _as_list(self.stride)

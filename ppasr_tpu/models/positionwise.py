@@ -3,7 +3,7 @@ ppasr/model_utils/conformer/positionwise.py:7-39)."""
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ppasr_tpu.models.base import kaiming_uniform, symmetric_uniform
+from ppasr_tpu.models.base import Dropout, kaiming_uniform, symmetric_uniform
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -37,5 +37,5 @@ class PositionwiseFeedForward(nn.Module):
         x = nn.Dense(self.hidden_units, dtype=self.dtype, name='w_1',
                      **w1)(x)
         x = self.activation(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = Dropout(self.dropout_rate, deterministic=deterministic)(x)
         return nn.Dense(self.idim, dtype=self.dtype, name='w_2', **w2)(x)

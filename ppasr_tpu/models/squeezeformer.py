@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ppasr_tpu.models.attention import MultiHeadedAttention
-from ppasr_tpu.models.base import GlobalCMVN, get_activation, kaiming_uniform
+from ppasr_tpu.models.base import Dropout, GlobalCMVN, get_activation, kaiming_uniform
 from ppasr_tpu.models.convolution import ConvolutionModule
 from ppasr_tpu.models.ctc import CTCHead
 from ppasr_tpu.models.embedding import sinusoid_table
@@ -134,7 +134,7 @@ class SqueezeformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask, pos_emb, mask_pad=None, kv_cache=None,
                  cnn_cache=None, deterministic=True):
-        dropout = nn.Dropout(self.dropout_rate)
+        dropout = Dropout(self.dropout_rate)
 
         def maybe_pre(x, norm):
             return norm(x) if self.normalize_before else x
@@ -267,7 +267,7 @@ class SqueezeformerEncoder(nn.Module):
                                    kernel_init=proj_init,
                                    bias_init=proj_init,
                                    dtype=self.dtype)
-        self.input_dropout = nn.Dropout(self.input_dropout_rate)
+        self.input_dropout = Dropout(self.input_dropout_rate)
         self.preln = nn.LayerNorm(dtype=self.dtype)
         act = get_activation(self.activation_type)
         self.layers = [SqueezeformerEncoderLayer(

@@ -11,7 +11,7 @@ with VALID padding to match paddle's padding=0.
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ppasr_tpu.models.base import kaiming_uniform
+from ppasr_tpu.models.base import Dropout, kaiming_uniform
 
 
 def subsampled_len4(t):
@@ -39,7 +39,7 @@ class LinearNoSubsampling(nn.Module):
         x = nn.Dense(self.odim, kernel_init=kaiming_uniform,
                      dtype=self.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype)(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = Dropout(self.dropout_rate, deterministic=deterministic)(x)
         return nn.relu(x)
 
     @staticmethod

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ppasr_tpu.models.attention import MultiHeadedAttention
-from ppasr_tpu.models.base import kaiming_uniform
+from ppasr_tpu.models.base import Dropout, kaiming_uniform
 from ppasr_tpu.models.embedding import sinusoid_table
 from ppasr_tpu.models.positionwise import PositionwiseFeedForward
 from ppasr_tpu.ops.masks import make_non_pad_mask, subsequent_mask
@@ -35,7 +35,7 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, tgt_mask, memory, memory_mask, deterministic=True):
-        dropout = nn.Dropout(self.dropout_rate)
+        dropout = Dropout(self.dropout_rate)
 
         residual = tgt
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name='norm1')(tgt) \
@@ -102,7 +102,7 @@ class TransformerDecoder(nn.Module):
                      dtype=self.dtype, name='embed')(ys_in_pad)
         pe = jnp.asarray(sinusoid_table(d, self.max_len)[:u], self.dtype)
         x = x * jnp.asarray(math.sqrt(d), self.dtype) + pe[None]
-        x = nn.Dropout(self.positional_dropout_rate)(
+        x = Dropout(self.positional_dropout_rate)(
             x, deterministic=deterministic)
 
         # causal mask ∧ pad mask

@@ -46,20 +46,30 @@ def make_train_step(model, tx, accum_grad: int = 1):
 
     def train_step(state: TrainState, batches, rng):
         """batches: pytree of [accum, B, ...] arrays."""
-        def micro(carry, inp):
-            acc_grads, i = carry
-            batch = inp
+        def micro_rngs(i):
             step_rng = jax.random.fold_in(rng, i)
-            rngs = {'dropout': step_rng,
+            return {'dropout': step_rng,
                     'chunk': jax.random.fold_in(step_rng, 1)}
-            (loss, metrics), grads = grad_fn(state.params, batch, rngs)
-            acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-            return (acc_grads, i + 1), metrics
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (grads, _), metrics = jax.lax.scan(
-            micro, (zero_grads, jnp.zeros((), jnp.int32)), batches)
-        grads = jax.tree.map(lambda g: g / accum_grad, grads)
+        if accum_grad == 1:
+            # fast path: no accumulation scan — skips the zero-init /
+            # add / divide passes over the gradient buffers (~3 full
+            # HBM sweeps of the parameter size per step)
+            batch = jax.tree.map(lambda x: x[0], batches)
+            (_, metrics), grads = grad_fn(state.params, batch,
+                                          micro_rngs(0))
+        else:
+            def micro(carry, inp):
+                acc_grads, i = carry
+                (loss, metrics), grads = grad_fn(state.params, inp,
+                                                 micro_rngs(i))
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                return (acc_grads, i + 1), metrics
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, _), metrics = jax.lax.scan(
+                micro, (zero_grads, jnp.zeros((), jnp.int32)), batches)
+            grads = jax.tree.map(lambda g: g / accum_grad, grads)
         metrics = jax.tree.map(lambda m: m.mean(), metrics)
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
