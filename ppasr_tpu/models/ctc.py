@@ -9,7 +9,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ppasr_tpu.models.base import Dropout, kaiming_uniform
-from ppasr_tpu.ops.ctc import ctc_loss
+from ppasr_tpu.ops.ctc import ctc_loss_from_logits
 
 
 class CTCHead(nn.Module):
@@ -22,8 +22,10 @@ class CTCHead(nn.Module):
                  deterministic=True):
         """Returns the batch-averaged CTC loss."""
         logits = self.logits(encoder_out, deterministic)
-        log_probs = nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return ctc_loss(log_probs, encoder_lens, labels, label_lens)
+        # straight from logits: the dense f32 log-softmax (and its autodiff
+        # residual) never materializes — see ops/ctc.py:ctc_loss_from_logits
+        return ctc_loss_from_logits(logits, encoder_lens, labels,
+                                    label_lens)
 
     @nn.compact
     def logits(self, encoder_out, deterministic=True):

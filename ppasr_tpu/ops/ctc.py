@@ -27,6 +27,22 @@ def _interleave_blanks(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
     return ext.at[:, 1::2].set(labels)
 
 
+def _extended_labels(labels, label_lengths, blank):
+    """Shared lattice plumbing: extended labels + validity/skip masks."""
+    s_len = 2 * labels.shape[1] + 1
+    labels = jnp.where(labels < 0, 0, labels)  # sanitize pad for gathers
+    ext = _interleave_blanks(labels, blank)  # [B, S]
+
+    # Valid extended positions: s < 2*label_len+1.
+    s_idx = jnp.arange(s_len, dtype=jnp.int32)[None, :]
+    valid_s = s_idx < (2 * label_lengths.astype(jnp.int32) + 1)[:, None]
+
+    # Skip-transition allowed: s>=2, ext[s] != blank, ext[s] != ext[s-2].
+    ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank)[:, :s_len]
+    can_skip = (s_idx >= 2) & (ext != blank) & (ext != ext_m2)
+    return ext, valid_s, can_skip
+
+
 def ctc_loss(log_probs: jnp.ndarray,
              input_lengths: jnp.ndarray,
              labels: jnp.ndarray,
@@ -47,28 +63,77 @@ def ctc_loss(log_probs: jnp.ndarray,
 
     Returns: scalar loss (or [B] when average_batch=False).
     """
-    bsz, max_t, _ = log_probs.shape
-    max_u = labels.shape[1]
-    s_len = 2 * max_u + 1
-
-    labels = jnp.where(labels < 0, 0, labels)  # sanitize pad for gathers
-    ext = _interleave_blanks(labels, blank)  # [B, S]
-
-    # Valid extended positions: s < 2*label_len+1.
-    s_idx = jnp.arange(s_len, dtype=jnp.int32)[None, :]
-    valid_s = s_idx < (2 * label_lengths.astype(jnp.int32) + 1)[:, None]
-
-    # Skip-transition allowed: s>=2, ext[s] != blank, ext[s] != ext[s-2].
-    ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank)[:, :s_len]
-    can_skip = (s_idx >= 2) & (ext != blank) & (ext != ext_m2)
+    ext, valid_s, can_skip = _extended_labels(labels, label_lengths, blank)
 
     # Emissions for every (t, s) gathered ONCE before the scan — the loop
     # body then touches only [B, S]-sized arrays (the [B, T, V] tensor never
     # enters the loop, and its gradient is a single scatter outside it).
     emit_all = jnp.take_along_axis(log_probs, ext[:, None, :], axis=2)
+    return _loss_from_emissions(emit_all, input_lengths, label_lengths,
+                                valid_s, can_skip, average_batch)
+
+
+def ctc_loss_from_logits(logits: jnp.ndarray,
+                         input_lengths: jnp.ndarray,
+                         labels: jnp.ndarray,
+                         label_lengths: jnp.ndarray,
+                         blank: int = 0,
+                         average_batch: bool = True) -> jnp.ndarray:
+    """CTC loss straight from (possibly bf16) logits.
+
+    The dense f32 [B, T, V] log-softmax is never materialized: emissions
+    are gathered from the logits and normalized by a fused logsumexp, and a
+    custom VJP recomputes the softmax in the backward pass instead of
+    storing the [B, T, V] log-probs as an autodiff residual. Numerics match
+    ``ctc_loss(log_softmax(logits.astype(f32)))`` exactly (all f32 math);
+    the training head calls this to halve the CTC head's HBM traffic.
+    """
+    ext, valid_s, can_skip = _extended_labels(labels, label_lengths, blank)
+    emit_all = _emissions_from_logits(logits, ext)
+    return _loss_from_emissions(emit_all, input_lengths, label_lengths,
+                                valid_s, can_skip, average_batch)
+
+
+@jax.custom_vjp
+def _emissions_from_logits(logits, ext):
+    """emit[b,t,s] = log_softmax(logits)[b, t, ext[b, s]], f32 — without
+    ever forming the dense [B, T, V] log-softmax."""
+    x = logits.astype(jnp.float32)
+    m = jnp.max(x, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(x - m[..., None]), axis=-1))
+    return jnp.take_along_axis(x, ext[:, None, :], axis=2) - lse[..., None]
+
+
+def _emissions_from_logits_fwd(logits, ext):
+    return _emissions_from_logits(logits, ext), (logits, ext)
+
+
+def _emissions_from_logits_bwd(res, g):
+    logits, ext = res
+    # d emit[b,t,s] / d logits[b,t,v] = 1[v == ext[b,s]] − softmax[b,t,v]
+    x = logits.astype(jnp.float32)
+    p = jax.nn.softmax(x, axis=-1)
+    g_tot = jnp.sum(g, axis=-1)                                 # [B, T]
+    bsz, t_max, _ = logits.shape
+    scat = jnp.zeros(logits.shape, jnp.float32).at[
+        jnp.arange(bsz)[:, None, None],
+        jnp.arange(t_max)[None, :, None],
+        jnp.broadcast_to(ext[:, None, :], g.shape)].add(g)
+    g_logits = (scat - p * g_tot[..., None]).astype(logits.dtype)
+    return g_logits, None
+
+
+_emissions_from_logits.defvjp(_emissions_from_logits_fwd,
+                              _emissions_from_logits_bwd)
+
+
+def _loss_from_emissions(emit_all, input_lengths, label_lengths,
+                         valid_s, can_skip, average_batch):
+    """Alpha recursion over pre-gathered emissions [B, T, S] (f32)."""
+    bsz, max_t, s_len = emit_all.shape
 
     # alpha_0
-    alpha0 = jnp.full((bsz, s_len), LOG_EPSILON, dtype=log_probs.dtype)
+    alpha0 = jnp.full((bsz, s_len), LOG_EPSILON, dtype=emit_all.dtype)
     emit0 = emit_all[:, 0, :]
     alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
     has_label = (label_lengths > 0)

@@ -87,3 +87,30 @@ def test_ctc_gradient_finite_and_jit():
     (loss_t / log_probs.shape[0]).backward()
     np.testing.assert_allclose(np.asarray(g), lp_t.grad.numpy(),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_ctc_loss_from_logits_matches_log_softmax_path():
+    """The training head's logits-direct loss (no dense [B,T,V] log-softmax,
+    custom VJP) must match log_softmax→ctc_loss in value and gradient."""
+    import jax
+    import jax.numpy as jnp
+    from ppasr_tpu.ops.ctc import ctc_loss, ctc_loss_from_logits
+    rng = np.random.default_rng(11)
+    B, T, V, U = 4, 37, 50, 6
+    lens = jnp.asarray([37, 30, 12, 37], jnp.int32)
+    labels = jnp.asarray(rng.integers(1, V, (B, U)), jnp.int32)
+    labels = labels.at[2, 3:].set(-1)
+    ulens = jnp.asarray([6, 6, 3, 6], jnp.int32)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        logits = jnp.asarray(rng.standard_normal((B, T, V)) * 2, dtype)
+
+        def old(lg):
+            lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+            return ctc_loss(lp, lens, labels, ulens)
+
+        v0, g0 = jax.value_and_grad(old)(logits)
+        v1, g1 = jax.value_and_grad(
+            lambda lg: ctc_loss_from_logits(lg, lens, labels, ulens))(logits)
+        assert abs(float(v0) - float(v1)) < 1e-4 * abs(float(v0))
+        diff = jnp.abs(g0.astype(jnp.float32) - g1.astype(jnp.float32))
+        assert float(diff.max()) < 2e-3
