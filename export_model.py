@@ -11,10 +11,14 @@ add_arg('configs', str, 'configs/conformer.yml', 'config file path')
 add_arg('save_model_path', str, 'models/', 'checkpoint root dir')
 add_arg('resume_model', str, None, 'checkpoint dir (default: last_model)')
 add_arg('save_quant', bool, False, 'also write an int8-quantized artifact')
+add_arg('save_stablehlo', bool, False,
+        'also serialize offline+chunk StableHLO computations (serving '
+        'hosts then need no model code)')
 args = parser.parse_args()
 print_arguments(args=args)
 
 trainer = PPASRTrainer(configs=args.configs)
 trainer.export(save_model_path=args.save_model_path,
                resume_model=args.resume_model,
-               save_quant=args.save_quant)
+               save_quant=args.save_quant,
+               save_stablehlo=args.save_stablehlo)

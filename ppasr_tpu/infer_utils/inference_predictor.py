@@ -27,7 +27,13 @@ logger = setup_logger(__name__)
 
 class InferencePredictor:
     def __init__(self, model_dir: str, mean_istd_path: str = None,
-                 use_gpu: bool = True):
+                 use_gpu: bool = True, use_stablehlo: bool = None):
+        """``use_stablehlo``: None = auto (use serialized StableHLO
+        artifacts when present), True/False to force. In StableHLO mode
+        the model zoo is never imported — the computation comes from
+        ``offline.stablehlo``/``chunk.stablehlo`` and the params from
+        msgpack, mirroring the reference predictor that only ever loads
+        the exported static graph (SURVEY.md §1 control-flow note)."""
         with open(os.path.join(model_dir, 'inference.json'), 'r',
                   encoding='utf-8') as f:
             conf = json.load(f)
@@ -35,38 +41,69 @@ class InferencePredictor:
         self.streaming = conf['streaming']
         self.input_dim = conf['input_dim']
         self.vocab_size = conf['vocab_size']
-        self.model = build_model(
-            self.use_model, self.input_dim, self.vocab_size,
-            streaming=self.streaming,
-            encoder_conf=conf.get('encoder_conf'),
-            decoder_conf=conf.get('decoder_conf'),
-            model_conf=conf.get('model_conf'),
-            mean_istd_path=mean_istd_path)
-        shape = self._params_shape()
+
+        from ppasr_tpu.infer_utils.stablehlo_export import (
+            load_exported, exported_arg, zero_state_from_exported)
+        exp_off = exp_chunk = None
+        if use_stablehlo is not False:
+            exp_off, exp_chunk = load_exported(model_dir)
+        if use_stablehlo and exp_off is None:
+            raise FileNotFoundError(
+                f"use_stablehlo=True but no offline.stablehlo in "
+                f"{model_dir} (re-export with save_stablehlo=True)")
+        self.stablehlo = exp_off is not None
+
+        if self.stablehlo:
+            self.model = None
+            params_spec = exported_arg(exp_off, 0)
+            self._params_spec = params_spec
+            self.params = self._load_params(
+                model_dir,
+                jax.tree.map(lambda a: np.zeros(a.shape, a.dtype),
+                             params_spec))
+            self._predict = jax.jit(exp_off.call)
+            self._chunk = jax.jit(exp_chunk.call) if exp_chunk else None
+            state_index = 3 if self.use_model == 'deepspeech2' else 2
+            self._init_state = (
+                lambda *_: zero_state_from_exported(exp_chunk, state_index)
+            ) if exp_chunk else None
+            logger.info("serving from StableHLO artifacts (no model code)")
+        else:
+            self.model = build_model(
+                self.use_model, self.input_dim, self.vocab_size,
+                streaming=self.streaming,
+                encoder_conf=conf.get('encoder_conf'),
+                decoder_conf=conf.get('decoder_conf'),
+                model_conf=conf.get('model_conf'),
+                mean_istd_path=mean_istd_path)
+            self.params = self._load_params(model_dir, self._params_shape())
+            self._predict = jax.jit(lambda p, s, l: self.model.apply(
+                p, s, l, method='get_encoder_out'))
+            if self.use_model == 'deepspeech2':
+                self._chunk = jax.jit(lambda p, x, xl, st: self.model.apply(
+                    p, x, xl, st, method='get_encoder_out_chunk'))
+                self._init_state = lambda b, *_: self.model.init_state(b)
+            else:
+                self._chunk = jax.jit(lambda p, x, st: self.model.apply(
+                    p, x, st, method='get_encoder_out_chunk'))
+                self._init_state = \
+                    lambda b, cache: self.model.init_state(b, cache)
+        self._state = None
+
+    def _load_params(self, model_dir, shape_tree):
         full = os.path.join(model_dir, 'model.msgpack')
         quant = os.path.join(model_dir, 'model_quant.msgpack')
         if os.path.exists(full):
             with open(full, 'rb') as f:
-                self.params = serialization.from_bytes(shape, f.read())
-        elif os.path.exists(quant):
+                return serialization.from_bytes(shape_tree, f.read())
+        if os.path.exists(quant):
             from ppasr_tpu.utils.quant import dequantize_params
             with open(quant, 'rb') as f:
                 blob = serialization.msgpack_restore(f.read())
             zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
-                                 shape)
-            self.params = dequantize_params(blob, zeros)
-        else:
-            raise FileNotFoundError(f"no model artifact in {model_dir}")
-
-        self._predict = jax.jit(lambda p, s, l: self.model.apply(
-            p, s, l, method='get_encoder_out'))
-        if self.use_model == 'deepspeech2':
-            self._chunk = jax.jit(lambda p, x, xl, st: self.model.apply(
-                p, x, xl, st, method='get_encoder_out_chunk'))
-        else:
-            self._chunk = jax.jit(lambda p, x, st: self.model.apply(
-                p, x, st, method='get_encoder_out_chunk'))
-        self._state = None
+                                 shape_tree)
+            return dequantize_params(blob, zeros)
+        raise FileNotFoundError(f"no model artifact in {model_dir}")
 
     def _params_shape(self):
         rng = jax.random.PRNGKey(0)
@@ -90,10 +127,12 @@ class InferencePredictor:
                                 required_cache_size: int = 64):
         """[1, T, D] feature chunk → [1, T', V] posteriors; the attention/
         conv cache state persists on device between calls (reference
-        :184-212 carried att_cache/cnn_cache through host handles)."""
+        :184-212 carried att_cache/cnn_cache through host handles).
+        StableHLO artifacts fix the window/cache sizes at export time
+        (like the reference's streaming input spec)."""
         if self._state is None:
-            self._state = self.model.init_state(x_chunk.shape[0],
-                                                max(required_cache_size, 1))
+            self._state = self._init_state(x_chunk.shape[0],
+                                           max(required_cache_size, 1))
         probs, self._state = self._chunk(self.params, jnp.asarray(x_chunk),
                                          self._state)
         return np.asarray(probs)
@@ -102,7 +141,7 @@ class InferencePredictor:
         """[1, T, D] chunk → posteriors with h/c state carry
         (reference :147-182)."""
         if self._state is None:
-            self._state = self.model.init_state(x_chunk.shape[0])
+            self._state = self._init_state(x_chunk.shape[0])
         lens = jnp.asarray([x_chunk.shape[1]])
         probs, olens, self._state = self._chunk(
             self.params, jnp.asarray(x_chunk), lens, self._state)

@@ -655,11 +655,16 @@ class PPASRTrainer:
     # ---------------------------------------------------------------- export
 
     def export(self, save_model_path: str = 'models/',
-               resume_model: str = None, save_quant: bool = False):
+               resume_model: str = None, save_quant: bool = False,
+               save_stablehlo: bool = False):
         """Write the inference artifact: params + inference config JSON
         (reference trainer.py:647-694; jit replaces static graphs).
         ``save_quant`` additionally writes an int8 weight-quantized artifact
-        (reference PaddleSlim post-quant, trainer.py:684-694)."""
+        (reference PaddleSlim post-quant, trainer.py:684-694).
+        ``save_stablehlo`` additionally serializes the offline + streaming
+        computations with jax.export — the InferencePredictor then serves
+        them without model code, the analog of the reference's pdmodel
+        static graph (see infer_utils/stablehlo_export.py)."""
         test_dataset = self._build_dataset(train=False)
         model = self._build_model(test_dataset.feature_dim,
                                   test_dataset.vocab_size)
@@ -688,6 +693,12 @@ class PPASRTrainer:
                       'wb') as f:
                 f.write(serialization.to_bytes(blob))
             logger.info("int8 weight-quantized artifact written")
+        if save_stablehlo:
+            from ppasr_tpu.infer_utils.stablehlo_export import \
+                export_stablehlo
+            export_stablehlo(model, state.params, infer_dir, self.use_model,
+                             test_dataset.feature_dim)
+            logger.info("StableHLO artifacts written (offline + chunk)")
         with open(os.path.join(infer_dir, 'inference.json'), 'w',
                   encoding='utf-8') as f:
             json.dump({'use_model': self.use_model,
