@@ -117,6 +117,11 @@ class InferencePredictor:
 
     def predict(self, speech: np.ndarray, speech_lens: np.ndarray):
         """[B, T, D] features → ([B, T', V] CTC posteriors, [B] lens)."""
+        if self.stablehlo and speech.shape[1] % 16:
+            # the exported graph's time dim is symbolic in 16-frame units;
+            # padding is masked out via speech_lens
+            pad = 16 - speech.shape[1] % 16
+            speech = np.pad(np.asarray(speech), ((0, 0), (0, pad), (0, 0)))
         probs, olens = self._predict(self.params, jnp.asarray(speech),
                                      jnp.asarray(speech_lens))
         return np.asarray(probs), np.asarray(olens)

@@ -45,14 +45,18 @@ def export_stablehlo(model, params, out_dir: str, use_model: str,
     from jax import export as jexp
     p_spec = _specs(params)
 
-    b, t = jexp.symbolic_shape(
-        "b, t", constraints=(f"t <= {MAX_FRAMES}", "t >= 16"))
+    # t = 16·tb: with the time dim a multiple of 16 the subsampling (and
+    # squeezeformer's U-Net reduce/recover) floordiv arithmetic simplifies
+    # to provably-equal symbolic shapes; the serving side pads features to
+    # a 16-frame multiple (lens-masked, so padding changes nothing).
+    b, tb = jexp.symbolic_shape(
+        "b, tb", constraints=(f"tb <= {MAX_FRAMES // 16}", "tb >= 2"))
     offline = jexp.export(
         jax.jit(lambda p, s, l: model.apply(p, s, l,
                                             method='get_encoder_out')),
         platforms=list(platforms))(
         p_spec,
-        jax.ShapeDtypeStruct((b, t, input_dim), jnp.float32),
+        jax.ShapeDtypeStruct((b, 16 * tb, input_dim), jnp.float32),
         jax.ShapeDtypeStruct((b,), jnp.int32))
     with open(os.path.join(out_dir, OFFLINE_FILE), 'wb') as f:
         f.write(offline.serialize())
