@@ -216,9 +216,8 @@ def _beam_step(state: BeamState, lp_blank, cand, cand_lp, top_n, beam_size,
         # only deviation is 32-bit hash collisions, same caveat as 'sort'
         # (and strictly fewer collision pairings, since ext-ext runs are
         # impossible here).
-        stay_alive = p_tot > NEG_INF / 2
         ext_alive = alive[k:]
-        stay_hash = jnp.where(stay_alive, state.hashes,
+        stay_hash = jnp.where(alive[:k], state.hashes,
                               jnp.uint32(0xFFFFFFFF))
         ext_hash_flat = jnp.where(ext_alive, ext_hash.reshape(-1),
                                   jnp.uint32(0xFFFFFFFE))
@@ -549,13 +548,11 @@ class JaxBeamSearchDecoder:
             return
 
         def prep(probs, lens):
+            # compaction-free path only; _prepped routes threshold < 1.0
+            # through keep_map + gather_topk below
             lp_blank, cand, cand_lp = precompute_candidates(
                 probs, self.blank_index, self.cutoff_top_n,
                 self.cutoff_prob, self.prune_method)
-            if self.blank_skip_threshold < 1.0:
-                return compact_candidate_frames(
-                    lp_blank, cand, cand_lp, lens,
-                    self.blank_skip_threshold)
             return lp_blank, cand, cand_lp, lens
         self._jit_prep = jax.jit(prep)
 
@@ -583,17 +580,24 @@ class JaxBeamSearchDecoder:
             src = scat(jnp.zeros((bsz, t_max), jnp.int32), dst, t_iota)
             lp_blank = scat(jnp.zeros((bsz, t_max), jnp.float32), dst,
                             jnp.log(jnp.maximum(pb, 1e-30)))
-            new_lens = jnp.maximum(keep.sum(axis=1).astype(jnp.int32), 1)
-            return src, lp_blank, new_lens
+            raw_lens = keep.sum(axis=1).astype(jnp.int32)
+            # the scan needs >= 1 active step; an all-blank utterance gets a
+            # synthetic frame whose candidates gather_topk prunes to NEG_INF
+            # (matching compact_candidate_frames, which leaves the frame at
+            # its NEG_INF init) so the beam takes a stay-only step
+            new_lens = jnp.maximum(raw_lens, 1)
+            return src, lp_blank, new_lens, raw_lens
         self._jit_keep = jax.jit(keep_map)
 
-        def gather_topk(probs, src_b):
+        def gather_topk(probs, src_b, raw_lens):
             """Phase 1b: gather kept rows, then candidates (bucketed T)."""
             rows = jnp.take_along_axis(probs, src_b[:, :, None], axis=1)
             _, cand, cand_lp = precompute_candidates(
                 rows, self.blank_index, self.cutoff_top_n,
                 self.cutoff_prob, self.prune_method)
-            return cand, cand_lp
+            t_idx = jnp.arange(src_b.shape[1], dtype=jnp.int32)
+            valid = t_idx[None, :] < raw_lens[:, None]
+            return cand, jnp.where(valid[:, :, None], cand_lp, NEG_INF)
         self._jit_gather_topk = jax.jit(gather_topk)
 
         def scan_states(lp_blank, cand, cand_lp, lens):
@@ -621,11 +625,12 @@ class JaxBeamSearchDecoder:
         self._build_fns()
         if self.blank_skip_threshold >= 1.0:
             return self._jit_prep(probs, lens)
-        src, lp_blank, new_lens = self._jit_keep(probs, lens)
+        src, lp_blank, new_lens, raw_lens = self._jit_keep(probs, lens)
         t_needed = int(jnp.max(new_lens))
         bucket = min(max(64, ((t_needed + 63) // 64) * 64),
                      probs.shape[1])
-        cand, cand_lp = self._jit_gather_topk(probs, src[:, :bucket])
+        cand, cand_lp = self._jit_gather_topk(probs, src[:, :bucket],
+                                              raw_lens)
         return lp_blank[:, :bucket], cand, cand_lp, new_lens
 
     def decode_batch(self, probs_batch, lens):

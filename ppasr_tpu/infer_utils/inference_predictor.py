@@ -47,16 +47,24 @@ class InferencePredictor:
         exp_off = exp_chunk = None
         if use_stablehlo is not False:
             exp_off, exp_chunk = load_exported(model_dir)
-        if use_stablehlo and exp_off is None:
+        # a streaming model needs BOTH artifacts — offline-only would leave
+        # predict_chunk_* broken; auto mode falls back to the code path
+        complete = exp_off is not None and (exp_chunk is not None
+                                            or not self.streaming)
+        if use_stablehlo and not complete:
             raise FileNotFoundError(
-                f"use_stablehlo=True but no offline.stablehlo in "
-                f"{model_dir} (re-export with save_stablehlo=True)")
-        self.stablehlo = exp_off is not None
+                f"use_stablehlo=True but StableHLO artifacts in {model_dir}"
+                f" are missing/incomplete (re-export with "
+                f"save_stablehlo=True)")
+        self.stablehlo = complete
 
         if self.stablehlo:
+            if mean_istd_path:
+                logger.warning(
+                    "mean_istd_path is ignored in StableHLO mode — CMVN "
+                    "stats were baked into the graph at export time")
             self.model = None
             params_spec = exported_arg(exp_off, 0)
-            self._params_spec = params_spec
             self.params = self._load_params(
                 model_dir,
                 jax.tree.map(lambda a: np.zeros(a.shape, a.dtype),
@@ -117,11 +125,20 @@ class InferencePredictor:
 
     def predict(self, speech: np.ndarray, speech_lens: np.ndarray):
         """[B, T, D] features → ([B, T', V] CTC posteriors, [B] lens)."""
-        if self.stablehlo and speech.shape[1] % 16:
-            # the exported graph's time dim is symbolic in 16-frame units;
-            # padding is masked out via speech_lens
-            pad = 16 - speech.shape[1] % 16
-            speech = np.pad(np.asarray(speech), ((0, 0), (0, pad), (0, 0)))
+        if self.stablehlo:
+            from ppasr_tpu.infer_utils.stablehlo_export import MAX_FRAMES
+            if speech.shape[1] > MAX_FRAMES:
+                raise ValueError(
+                    f"input of {speech.shape[1]} frames exceeds the "
+                    f"exported graph's bound ({MAX_FRAMES}); use VAD "
+                    f"long-audio mode or the code path")
+            # the exported graph's time dim is symbolic in 16-frame units
+            # with tb >= 2 (T >= 32); padding is masked out via speech_lens
+            target = max(32, -(-speech.shape[1] // 16) * 16)
+            if speech.shape[1] != target:
+                pad = target - speech.shape[1]
+                speech = np.pad(np.asarray(speech),
+                                ((0, 0), (0, pad), (0, 0)))
         probs, olens = self._predict(self.params, jnp.asarray(speech),
                                      jnp.asarray(speech_lens))
         return np.asarray(probs), np.asarray(olens)

@@ -102,3 +102,30 @@ def test_match_merge_equals_sort_merge():
                                   beam_size=10, blank=0, cutoff_prob=0.99,
                                   cutoff_top_n=20)
     assert out['match'][1][1] == ''.join(VOCAB[i] for i in host[0][1])
+
+
+def test_all_blank_utterance_compaction():
+    """A silence clip (every frame blank-dominated) must decode to the
+    empty hypothesis with compaction on, exactly like the full path —
+    the synthetic forced frame may not leak real candidates."""
+    probs = np.full((2, 30, V), 0.001 / (V - 1), np.float32)
+    probs[:, :, 0] = 0.999
+    probs /= probs.sum(-1, keepdims=True)
+    lens = [30, 17]
+    dec_c = JaxBeamSearchDecoder(VOCAB, beam_size=6, cutoff_prob=0.99,
+                                 cutoff_top_n=10, alpha=0, beta=0,
+                                 blank_skip_threshold=0.98)
+    dec_f = JaxBeamSearchDecoder(VOCAB, beam_size=6, cutoff_prob=0.99,
+                                 cutoff_top_n=10, alpha=0, beta=0,
+                                 blank_skip_threshold=1.0)
+    rc = dec_c.decode_batch(jnp.asarray(probs), lens)
+    rf = dec_f.decode_batch(jnp.asarray(probs), lens)
+    for (sc, tc), (sf, tf) in zip(rc, rf):
+        assert tc == tf == ''
+    # and the full BeamState view (rescoring input) carries no junk
+    # hypotheses beyond the empty one
+    states = dec_c.decode_batch_states(jnp.asarray(probs), lens)
+    from ppasr_tpu.decoders.beam_search_jax import all_hypotheses
+    prefixes, lengths, scores = all_hypotheses(states, 8)
+    alive = np.asarray(scores) > -1e15
+    assert np.asarray(lengths)[alive].max() == 0

@@ -142,3 +142,30 @@ def test_other_families_roundtrip(tmp_path, family):
         rp, _ = model.apply(params, chunk, model.init_state(1, 32),
                             method='get_encoder_out_chunk')
     assert float(jnp.abs(probs - rp).max()) < 1e-6
+
+
+def test_short_and_padded_inputs(artifact):
+    """T < 32 (below the exported tb>=2 bound) must be padded, not crash."""
+    shlo = InferencePredictor(artifact)
+    code = InferencePredictor(artifact, use_stablehlo=False)
+    rng = np.random.default_rng(2)
+    speech = rng.standard_normal((1, 15, DIM)).astype(np.float32) * 0.3
+    lens = np.asarray([15], np.int32)
+    p1, l1 = shlo.predict(speech, lens)
+    p2, l2 = code.predict(speech, lens)
+    np.testing.assert_array_equal(l1, l2)
+    n = int(l1[0])
+    assert float(np.abs(p1[0, :n] - p2[0, :n]).max()) < 1e-6
+
+
+def test_streaming_dir_without_chunk_artifact(tmp_path, artifact):
+    """Offline-only artifacts on a streaming model: auto mode must fall
+    back to the code path (stablehlo mode would break predict_chunk_*)."""
+    import shutil
+    d = tmp_path / 'no_chunk'
+    shutil.copytree(artifact, d)
+    os.remove(d / 'chunk.stablehlo')
+    pred = InferencePredictor(str(d))
+    assert not pred.stablehlo
+    with pytest.raises(FileNotFoundError):
+        InferencePredictor(str(d), use_stablehlo=True)
