@@ -149,6 +149,32 @@ def bench_train_step(model, params, iters=5, bsz=32, frames=1000):
     return bsz * (frames / 100.0) * iters / (time.perf_counter() - start)
 
 
+def bench_eval_pipeline(model, params, iters=5, bsz=16, frames=1000,
+                        vocab=4096):
+    """Full eval pipeline: features → encoder → on-device beam search →
+    host texts, the end-to-end path behind eval.py. This is the honest
+    comparison point for the reference's only published speed figure
+    (≈720 audio-s/s eval, docs/eval.md)."""
+    from ppasr_tpu.decoders.beam_search_jax import JaxBeamSearchDecoder
+    bf_model = _flagship(jnp.bfloat16)
+    speech = jnp.asarray(
+        np.random.default_rng(0).standard_normal((bsz, frames, 80)) * 0.3,
+        jnp.float32)
+    lens = jnp.full((bsz,), frames, jnp.int32)
+    fwd = jax.jit(lambda p, s, l: bf_model.apply(p, s, l,
+                                                 method='get_encoder_out'))
+    dec = JaxBeamSearchDecoder([str(i) for i in range(vocab)], beam_size=10)
+    def run():
+        probs, olens = fwd(params, speech, lens)
+        return dec.decode_batch(probs, np.asarray(olens))
+    run()  # compile
+    start = time.perf_counter()
+    for _ in range(iters):
+        texts = run()
+    elapsed = time.perf_counter() - start
+    return bsz * (frames / 100.0) * iters / elapsed
+
+
 def bench_beam_decode(iters=5, bsz=16, frames=250, vocab=4096):
     """On-device CTC prefix beam search over realistic peaky posteriors
     (75% blank-dominated frames), posteriors already resident on device."""
@@ -213,6 +239,14 @@ def main():
             "value": round(beam_tp, 2),
             "unit": "audio-seconds/s/chip (on-device, B=16 beam=10 V=4096)",
             "vs_baseline": None}), file=sys.stderr)
+        eval_tp = bench_eval_pipeline(model, params)
+        print(json.dumps({
+            "metric": "eval_pipeline_throughput",
+            "value": round(eval_tp, 2),
+            "unit": "audio-seconds/s/chip (encode+beam decode+texts, "
+                    "B=16x10s)",
+            "vs_baseline": round(eval_tp / BASELINE_AUDIO_S_PER_S, 3)}),
+            file=sys.stderr)
     print(json.dumps({
         "metric": "streaming_chunk_latency_b16", "value": round(lat_ms, 2),
         "unit": "ms/chunk-step (16 streams, 0.64s chunks)",
