@@ -24,8 +24,12 @@ Two-phase design (the vocab-sized work is hoisted out of the scan):
     3. top-K by total probability re-forms the beam; prefix token storage
        is gathered alongside.
 
-Optional LM shallow fusion: dense char-level log10 unigram/bigram tables
-(device arrays) with KenLM-style alpha/beta weights.
+Optional LM shallow fusion with KenLM-style alpha/beta weights, two backends:
+  - dense char-level log10 unigram/bigram tables (order <= 2, one gather);
+  - probing hash tables for orders 3+ (HashLM): per-order open-addressing
+    tables probed with XLA gathers inside the scan, full Katz backoff chain
+    computed on device — score-identical to the host NgramScorer
+    (ppasr_tpu/decoders/lm.py) up to fingerprint collisions (~2^-50).
 
 Scores match the host oracle (ppasr_tpu/decoders/beam_search.py) exactly up
 to float32 on the same pruning config; hash collisions are the one
@@ -67,6 +71,112 @@ def init_beam_state(beam_size: int, max_len: int) -> BeamState:
 
 def _next_pow2(x: int) -> int:
     return 1 << (int(x) - 1).bit_length()
+
+
+# ------------------------------------------------------- hash-table LM
+
+class HashLM(NamedTuple):
+    """Device-resident n-gram LM for orders >= 3 (see lm.build_hash_tables).
+
+    fps/logps/backoffs are per-order tuples (n = 2..order); tuple length is
+    static under jit, so the backoff chain unrolls at trace time."""
+    uni_logp: jnp.ndarray     # [V] f32 log10 (-6.0 for absent tokens)
+    uni_found: jnp.ndarray    # [V] bool
+    uni_backoff: jnp.ndarray  # [V] f32 log10
+    fps: tuple                # n=2..order: uint32 [M_n], 0 = empty slot
+    logps: tuple              # f32 [M_n]
+    backoffs: tuple           # f32 [M_n]
+
+
+def hash_lm_from_tables(t) -> HashLM:
+    """lm.build_hash_tables output dict → device HashLM."""
+    return HashLM(
+        uni_logp=jnp.asarray(t['uni_logp']),
+        uni_found=jnp.asarray(t['uni_found']),
+        uni_backoff=jnp.asarray(t['uni_backoff']),
+        fps=tuple(jnp.asarray(fp) for fp, _, _ in t['tables']),
+        logps=tuple(jnp.asarray(lp) for _, lp, _ in t['tables']),
+        backoffs=tuple(jnp.asarray(bk) for _, _, bk in t['tables']))
+
+
+_LM_PROBES = 8  # must match lm.LM_HASH_PROBES
+
+
+def _fmix32_dev(h):
+    """Murmur3 avalanche, matching lm._fmix32 bit-for-bit (the raw fold is
+    linear in the last token — see lm._fmix32)."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def _hash_fold(tokens):
+    """Rolling 32-bit hashes over token arrays (oldest → newest), matching
+    lm._fold_hash bit-for-bit. tokens: list of broadcast-compatible int
+    arrays; returns (slot hash, fingerprint hash) uint32."""
+    h1 = None
+    h2 = None
+    for t in tokens:
+        tt = (t + 1).astype(jnp.uint32)
+        if h1 is None:
+            h1 = jnp.uint32(2166136261) * jnp.uint32(0x9E3779B1) + tt
+            h2 = jnp.uint32(0x27220A95) * jnp.uint32(0x85EBCA6B) + tt
+        else:
+            h1 = h1 * jnp.uint32(0x9E3779B1) + tt
+            h2 = h2 * jnp.uint32(0x85EBCA6B) + tt
+    return _fmix32_dev(h1), _fmix32_dev(h2)
+
+
+def _hash_probe(fp_table, h1, h2):
+    """Linear-probe lookup. Returns (found bool, flat slot index int32);
+    read values with table[flat] (meaningful only where found)."""
+    m = fp_table.shape[0]
+    idx = ((h1[..., None] + jnp.arange(_LM_PROBES, dtype=jnp.uint32))
+           & jnp.uint32(m - 1)).astype(jnp.int32)        # [..., P]
+    match = fp_table[idx] == (h2 | jnp.uint32(1))[..., None]
+    found = jnp.any(match, axis=-1)
+    slot = jnp.argmax(match, axis=-1)
+    flat = jnp.take_along_axis(idx, slot[..., None], axis=-1)[..., 0]
+    return found, flat
+
+
+def _hash_lm_score(lm: HashLM, ctx, cand):
+    """log10 P(cand | ctx) with the full backoff chain, on device.
+
+    ctx: [K, order-1] int32 context token ids, NEWEST FIRST (ctx[:, 0] is
+    the last emitted char), -1 = no token. cand: [N] int32.
+
+    Mirrors NgramScorer._score_tokens exactly: longest matched n-gram's
+    log-prob plus the backoff weights of every longer context that exists
+    in the LM, computed bottom-up as
+        f_n = found_n ? logp_n : bo(ctx_{n-1}) + f_{n-1}
+    (bo = 0 when the context itself is absent — ARPA guarantees the n-gram
+    is then absent too). Tokens absent from the LM score a flat -6.0 with
+    no backoff sum, the scorer's OOV short-circuit."""
+    order = len(lm.fps) + 1
+    k = ctx.shape[0]
+    f = jnp.broadcast_to(lm.uni_logp[cand][None, :],
+                         (k, cand.shape[0]))              # [K, N]
+    for n in range(2, order + 1):
+        toks = [ctx[:, j] for j in range(n - 2, -1, -1)]  # oldest → newest
+        valid = ctx[:, n - 2] >= 0  # newest-first ⇒ oldest present = all
+        h1, h2 = _hash_fold([t[:, None] for t in toks] + [cand[None, :]])
+        found, flat = _hash_probe(lm.fps[n - 2], h1, h2)  # [K, N]
+        logp = lm.logps[n - 2][flat]
+        if n == 2:
+            last = jnp.where(valid, ctx[:, 0], 0)
+            bo = jnp.where(valid & lm.uni_found[last],
+                           lm.uni_backoff[last], 0.0)     # [K]
+        else:
+            bh1, bh2 = _hash_fold(toks)                   # [K]
+            bfound, bflat = _hash_probe(lm.fps[n - 3], bh1, bh2)
+            bo = jnp.where(valid & bfound, lm.backoffs[n - 3][bflat], 0.0)
+        found = found & valid[:, None]
+        f = jnp.where(found, logp, bo[:, None] + f)
+    return jnp.where(lm.uni_found[cand][None, :], f, -6.0)
 
 
 def _logaddexp(a, b):
@@ -143,7 +253,8 @@ def compact_blank_frames(probs: jnp.ndarray, lens: jnp.ndarray,
 # --------------------------------------------------------------- phase 2
 
 def _beam_step(state: BeamState, lp_blank, cand, cand_lp, top_n, beam_size,
-               lm_bigram, lm_unigram, alpha, beta, merge_mode='match'):
+               lm_bigram, lm_unigram, alpha, beta, merge_mode='match',
+               lm_hash: Optional[HashLM] = None):
     """One time step for one utterance, over precomputed candidates.
     lp_blank: scalar; cand/cand_lp: [N]."""
     k = beam_size
@@ -151,8 +262,21 @@ def _beam_step(state: BeamState, lp_blank, cand, cand_lp, top_n, beam_size,
 
     p_tot = _logaddexp(state.p_b, state.p_nb)             # [K]
 
-    # --- LM bonus for extending with candidate c given last char
-    if lm_bigram is not None or lm_unigram is not None:
+    # --- LM bonus for extending with candidate c given the prefix
+    if lm_hash is not None:
+        # context = last (order-1) prefix tokens, newest first
+        order = len(lm_hash.fps) + 1
+        j = jnp.arange(order - 1)
+        pos = state.lengths[:, None] - 1 - j[None, :]      # [K, order-1]
+        ctx = jnp.where(pos >= 0,
+                        jnp.take_along_axis(
+                            state.prefixes,
+                            jnp.clip(pos, 0, u_max - 1), axis=1),
+                        -1)
+        lm = _hash_lm_score(lm_hash, ctx, cand)            # [K, N]
+        ln10 = math.log(10.0)
+        bonus = alpha * lm * ln10 + beta * ln10
+    elif lm_bigram is not None or lm_unigram is not None:
         ln10 = math.log(10.0)
         if lm_bigram is not None:
             ctx = jnp.where(state.last < 0, 0, state.last)
@@ -326,11 +450,13 @@ def _beam_step(state: BeamState, lp_blank, cand, cand_lp, top_n, beam_size,
 
 
 def _masked_step(states, lp_blank, cand, cand_lp, active, top_n, beam_size,
-                 lm_bigram, lm_unigram, alpha, beta, merge_mode):
+                 lm_bigram, lm_unigram, alpha, beta, merge_mode,
+                 lm_hash=None):
     """Vmapped step over the batch; inactive lanes keep their state."""
     def one(state, lpb, cd, clp, act):
         new = _beam_step(state, lpb, cd, clp, top_n, beam_size,
-                         lm_bigram, lm_unigram, alpha, beta, merge_mode)
+                         lm_bigram, lm_unigram, alpha, beta, merge_mode,
+                         lm_hash=lm_hash)
         return jax.tree.map(lambda n, o: jnp.where(
             jnp.reshape(act, (1,) * n.ndim), n, o), new, state)
     return jax.vmap(one)(states, lp_blank, cand, cand_lp, active)
@@ -345,19 +471,20 @@ def beam_search_step_batch(states: BeamState, probs_t: jnp.ndarray,
                            lm_bigram=None, lm_unigram=None,
                            alpha: float = 2.2, beta: float = 4.3,
                            max_prefix_len: int = 0,
-                           merge_mode: str = 'match'):
+                           merge_mode: str = 'match',
+                           lm_hash: Optional[HashLM] = None):
     """One decode step over the whole batch.
     probs_t: [B, V]; active: [B] bool (frame < utterance length)."""
     lp_blank, cand, cand_lp = precompute_candidates(
         probs_t, blank, cutoff_top_n, cutoff_prob)
     return _masked_step(states, lp_blank, cand, cand_lp, active,
                         cutoff_top_n, beam_size, lm_bigram, lm_unigram,
-                        alpha, beta, merge_mode)
+                        alpha, beta, merge_mode, lm_hash=lm_hash)
 
 
 def _scan_candidates(states, lp_blank, cand, cand_lp, lens, top_n,
                      beam_size, lm_bigram, lm_unigram, alpha, beta,
-                     merge_mode):
+                     merge_mode, lm_hash=None):
     """Run the beam over precomputed candidates.
     lp_blank [B, T]; cand/cand_lp [B, T, N]."""
     t_max = lp_blank.shape[1]
@@ -367,7 +494,7 @@ def _scan_candidates(states, lp_blank, cand, cand_lp, lens, top_n,
         active = t < lens
         return _masked_step(st, lpb_t, cand_t, clp_t, active, top_n,
                             beam_size, lm_bigram, lm_unigram, alpha, beta,
-                            merge_mode), None
+                            merge_mode, lm_hash=lm_hash), None
 
     xs = (jnp.transpose(lp_blank, (1, 0)),
           jnp.transpose(cand, (1, 0, 2)),
@@ -384,7 +511,8 @@ def ctc_beam_search_jax(probs: jnp.ndarray, lens: jnp.ndarray,
                         alpha: float = 2.2, beta: float = 4.3,
                         max_prefix_len: Optional[int] = None,
                         blank_skip_threshold: float = 1.0,
-                        merge_mode: str = 'match'):
+                        merge_mode: str = 'match',
+                        lm_hash: Optional[HashLM] = None):
     """Batch offline decode: [B, T, V] probs + [B] lens → BeamState batch.
 
     The scan runs fully on device; convert with ``beam_state_to_results``.
@@ -402,7 +530,7 @@ def ctc_beam_search_jax(probs: jnp.ndarray, lens: jnp.ndarray,
         jnp.arange(bsz))
     return _scan_candidates(init, lp_blank, cand, cand_lp, lens,
                             cutoff_top_n, beam_size, lm_bigram, lm_unigram,
-                            alpha, beta, merge_mode)
+                            alpha, beta, merge_mode, lm_hash=lm_hash)
 
 
 def ctc_beam_search_jax_continue(states: BeamState, probs, lens,
@@ -412,13 +540,14 @@ def ctc_beam_search_jax_continue(states: BeamState, probs, lens,
                                  lm_bigram=None, lm_unigram=None,
                                  alpha: float = 2.2, beta: float = 4.3,
                                  max_prefix_len: int = 0,
-                                 merge_mode: str = 'match'):
+                                 merge_mode: str = 'match',
+                                 lm_hash: Optional[HashLM] = None):
     """Continue decoding from an existing BeamState (streaming)."""
     lp_blank, cand, cand_lp = precompute_candidates(
         probs, blank, cutoff_top_n, cutoff_prob)
     return _scan_candidates(states, lp_blank, cand, cand_lp, lens,
                             cutoff_top_n, beam_size, lm_bigram, lm_unigram,
-                            alpha, beta, merge_mode)
+                            alpha, beta, merge_mode, lm_hash=lm_hash)
 
 
 def pack_best_hypothesis(states: BeamState) -> jnp.ndarray:
@@ -493,7 +622,8 @@ class JaxBeamSearchDecoder:
                  max_prefix_len: int = 512,
                  blank_skip_threshold: float = 0.98,
                  merge_mode: str = 'match',
-                 prune_method: str = 'exact', **_):
+                 prune_method: str = 'exact',
+                 lm_fusion: str = 'auto', **_):
         self.vocab_list = list(vocab_list)
         self.alpha = alpha
         self.beta = beta
@@ -505,8 +635,10 @@ class JaxBeamSearchDecoder:
         self.blank_skip_threshold = blank_skip_threshold
         self.merge_mode = merge_mode
         self.prune_method = prune_method
+        self.lm_fusion = lm_fusion  # 'auto' | 'dense' | 'hash'
         self.lm_unigram = None
         self.lm_bigram = None
+        self.lm_hash = None
         if language_model_path:
             import os
             if os.path.exists(language_model_path):
@@ -514,8 +646,16 @@ class JaxBeamSearchDecoder:
         self.reset()
 
     def _load_lm(self, path):
-        from ppasr_tpu.decoders.lm import NgramScorer
+        from ppasr_tpu.decoders.lm import NgramScorer, build_hash_tables
         scorer = NgramScorer(path, self.vocab_list)
+        if self.lm_fusion == 'hash' or (self.lm_fusion == 'auto'
+                                        and scorer.order >= 3):
+            # orders 3+: the dense [V, V] table can't carry trigram+
+            # context — probing hash tables keep the full backoff chain
+            # on device (one probe set per order inside the scan)
+            self.lm_hash = hash_lm_from_tables(
+                build_hash_tables(scorer, self.vocab_list))
+            return
         v = len(self.vocab_list)
         uni = np.full((v,), -6.0, np.float32)
         for i, tok in enumerate(self.vocab_list):
@@ -607,7 +747,8 @@ class JaxBeamSearchDecoder:
             return _scan_candidates(
                 init, lp_blank, cand, cand_lp, lens, self.cutoff_top_n,
                 self.beam_size, self.lm_bigram, self.lm_unigram,
-                self.alpha, self.beta, self.merge_mode)
+                self.alpha, self.beta, self.merge_mode,
+                lm_hash=self.lm_hash)
         self._jit_scan_states = jax.jit(scan_states)
         # one packed D2H transfer for the plain decode path
         self._jit_scan = jax.jit(
@@ -677,7 +818,8 @@ class JaxBeamSearchDecoder:
                         lm_unigram=self.lm_unigram,
                         alpha=self.alpha, beta=self.beta,
                         max_prefix_len=self.max_prefix_len,
-                        merge_mode=self.merge_mode)
+                        merge_mode=self.merge_mode,
+                        lm_hash=self.lm_hash)
                     return new, pack_best_hypothesis(new)
                 self._jit_continue = jax.jit(cont)
             # pad the chunk to a 16-frame bucket so one compiled program

@@ -95,3 +95,113 @@ class NgramScorer:
             if e is not None:
                 uni[i] = e[0]
         return uni
+
+
+# ------------------------------------------------------------------ device
+# Probing hash tables for on-device fusion of orders > 2 (the dense [V, V]
+# bigram table stops scaling past order 2). One open-addressing table per
+# order n >= 2: 32-bit fingerprints (0 = empty), log10 prob, backoff weight.
+# The beam step probes these with XLA gathers (beam_search_jax._hash_lm_score)
+# using the SAME fold hash as _fold_hash below — keep the two in sync.
+
+LM_HASH_PROBES = 8
+_H1_SEED, _H1_MULT = 2166136261, 0x9E3779B1
+_H2_SEED, _H2_MULT = 0x27220A95, 0x85EBCA6B
+_U32 = 0xFFFFFFFF
+
+
+def _fmix32(h):
+    """Murmur3 avalanche. The raw fold is linear in the last token, so
+    neighboring candidate ids would otherwise produce adjacent slot hashes
+    AND fingerprints (which the |1 low bit then conflates)."""
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _U32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _U32
+    h ^= h >> 16
+    return h
+
+
+def _fold_hash(ids):
+    """(slot hash, fingerprint hash) over token ids, 32-bit wrapping —
+    bit-identical to the jnp.uint32 fold on device."""
+    h1, h2 = _H1_SEED, _H2_SEED
+    for i in ids:
+        t = (int(i) + 1) & _U32
+        h1 = (h1 * _H1_MULT + t) & _U32
+        h2 = (h2 * _H2_MULT + t) & _U32
+    return _fmix32(h1), _fmix32(h2)
+
+
+def build_hash_tables(scorer: NgramScorer, vocab_list, max_order=None):
+    """Flatten an NgramScorer into device-friendly probing hash tables.
+
+    Returns a dict of numpy arrays:
+      order        int (min(scorer.order, max_order))
+      uni_logp     [V] f32 (log10, -6.0 for tokens absent from the LM)
+      uni_found    [V] bool
+      uni_backoff  [V] f32 (log10 backoff weight, 0 when absent)
+      tables       list over n = 2..order of (fp u32 [M], logp f32 [M],
+                   backoff f32 [M]); M a power of two, load factor <= 0.5,
+                   every entry within LM_HASH_PROBES linear probes.
+
+    n-grams containing tokens outside vocab_list (<s>, </s>, pruned chars)
+    are dropped — the host scorer can never query them either, since its
+    contexts come from vocab ids (NgramScorer.score).
+    """
+    order = scorer.order if max_order is None else min(scorer.order,
+                                                       max_order)
+    tok_to_id = {t: i for i, t in enumerate(vocab_list)}
+    v = len(vocab_list)
+    uni_logp = np.full((v,), -6.0, np.float32)
+    uni_found = np.zeros((v,), bool)
+    uni_backoff = np.zeros((v,), np.float32)
+    for i, tok in enumerate(vocab_list):
+        e = scorer.tables.get(1, {}).get((tok,))
+        if e is not None:
+            uni_logp[i], uni_backoff[i] = e[0], e[1]
+            uni_found[i] = True
+
+    tables = []
+    for n in range(2, order + 1):
+        entries = []
+        for ngram, (logp, bo) in scorer.tables.get(n, {}).items():
+            ids = [tok_to_id.get(w) for w in ngram]
+            if None in ids:
+                continue
+            entries.append((ids, logp, bo))
+        m = 64
+        while m < 2 * max(len(entries), 1):
+            m *= 2
+        for _attempt in range(8):
+            fp = np.zeros((m,), np.uint32)
+            lp = np.zeros((m,), np.float32)
+            bk = np.zeros((m,), np.float32)
+            ok = True
+            for ids, logp, bo in entries:
+                h1, h2 = _fold_hash(ids)
+                f = h2 | 1  # fingerprint 0 is the empty sentinel
+                for p in range(LM_HASH_PROBES):
+                    s = (h1 + p) & (m - 1)
+                    if fp[s] == 0:
+                        fp[s] = f
+                        lp[s] = logp
+                        bk[s] = bo
+                        break
+                    if fp[s] == f:
+                        # same slot + same fingerprint for a different
+                        # n-gram (~2^-50 per pair): regrow reshuffles slots
+                        ok = False
+                        break
+                else:
+                    ok = False
+                if not ok:
+                    break
+            if ok:
+                break
+            m *= 2
+        else:
+            raise RuntimeError("LM hash table build failed to converge")
+        tables.append((fp, lp, bk))
+    return dict(order=order, uni_logp=uni_logp, uni_found=uni_found,
+                uni_backoff=uni_backoff, tables=tables)

@@ -81,6 +81,142 @@ ngram 1=2
     assert with_lm.decode(probs)[1] == 'b'
 
 
+TRIGRAM_ARPA = """
+\\data\\
+ngram 1=4
+ngram 2=5
+ngram 3=4
+
+\\1-grams:
+-0.8\ta\t-0.3
+-0.7\tb\t-0.25
+-1.0\tc\t-0.2
+-1.2\td
+
+\\2-grams:
+-0.3\ta b\t-0.15
+-0.5\tb c\t-0.1
+-0.4\tc a\t-0.05
+-0.9\ta a
+-0.6\td b\t-0.2
+
+\\3-grams:
+-0.2\ta b c
+-0.3\tb c a
+-0.25\tc a b
+-0.5\td b c
+
+\\end\\
+"""
+
+
+def test_hash_lm_score_matches_host_scorer(tmp_path):
+    """Device probing-table backoff chain ≡ NgramScorer.score for every
+    (context, candidate) pair: trigram hits, bigram/unigram backoff,
+    LM-absent (OOV) tokens, short and over-long prefixes."""
+    from ppasr_tpu.decoders.lm import NgramScorer, build_hash_tables
+    from ppasr_tpu.decoders.beam_search_jax import (_hash_lm_score,
+                                                    hash_lm_from_tables)
+    arpa = tmp_path / "tri.arpa"
+    arpa.write_text(TRIGRAM_ARPA)
+    vocab = ['<blank>', 'a', 'b', 'c', 'd', 'e']  # e absent from the LM
+    scorer = NgramScorer(str(arpa), vocab)
+    lm = hash_lm_from_tables(build_hash_tables(scorer, vocab))
+
+    prefixes = [[], [1], [5], [1, 2], [2, 3], [4, 2], [5, 1],
+                [1, 2, 3], [3, 1, 2], [1, 2, 3, 1, 2]]
+    cands = np.array([1, 2, 3, 4, 5], np.int32)
+    # ctx rows: newest-first, -1 padded
+    ctx = np.full((len(prefixes), 2), -1, np.int32)
+    for i, p in enumerate(prefixes):
+        for j, tok in enumerate(reversed(p[-2:])):
+            ctx[i, j] = tok
+    got = np.asarray(_hash_lm_score(lm, jnp.asarray(ctx),
+                                    jnp.asarray(cands)))
+    for i, p in enumerate(prefixes):
+        for j, c in enumerate(cands):
+            want = scorer.score(p, int(c))
+            assert abs(got[i, j] - want) < 1e-5, (p, int(c), got[i, j], want)
+
+
+def test_hash_lm_score_random_order4(tmp_path):
+    """Randomized order-4 LM: every context length and backoff depth."""
+    from ppasr_tpu.decoders.lm import NgramScorer, build_hash_tables
+    from ppasr_tpu.decoders.beam_search_jax import (_hash_lm_score,
+                                                    hash_lm_from_tables)
+    rng = np.random.default_rng(5)
+    vocab = ['<blank>'] + [chr(ord('a') + i) for i in range(12)]
+    toks = vocab[1:]
+    lines = ["\\data\\"] + [f"ngram {n}={50 if n > 1 else len(toks)}"
+                            for n in range(1, 5)] + [""]
+    lines.append("\\1-grams:")
+    for t in toks[:-2]:  # leave two tokens LM-absent (OOV path)
+        lines.append(f"{-rng.uniform(0.3, 2):.4f}\t{t}\t"
+                     f"{-rng.uniform(0.01, 0.6):.4f}")
+    for n in range(2, 5):
+        lines.append(f"\\{n}-grams:")
+        seen = set()
+        for _ in range(50):
+            ng = tuple(rng.choice(toks[:-2], size=n))
+            if ng in seen:
+                continue
+            seen.add(ng)
+            lines.append(f"{-rng.uniform(0.1, 3):.4f}\t{' '.join(ng)}\t"
+                         f"{-rng.uniform(0.01, 0.5):.4f}")
+    lines.append("\\end\\")
+    arpa = tmp_path / "o4.arpa"
+    arpa.write_text("\n".join(lines))
+    scorer = NgramScorer(str(arpa), vocab)
+    assert scorer.order == 4
+    lm = hash_lm_from_tables(build_hash_tables(scorer, vocab))
+    cands = np.arange(1, len(vocab), dtype=np.int32)
+    prefixes = [list(rng.integers(1, len(vocab), size=k))
+                for k in (0, 1, 2, 3, 5) for _ in range(6)]
+    ctx = np.full((len(prefixes), 3), -1, np.int32)
+    for i, p in enumerate(prefixes):
+        for j, tok in enumerate(reversed(p[-3:])):
+            ctx[i, j] = tok
+    got = np.asarray(_hash_lm_score(lm, jnp.asarray(ctx),
+                                    jnp.asarray(cands)))
+    for i, p in enumerate(prefixes):
+        for j, c in enumerate(cands):
+            want = scorer.score(p, int(c))
+            assert abs(got[i, j] - want) < 1e-4, (p, int(c), got[i, j], want)
+
+
+def test_hash_lm_decode_matches_host_oracle(tmp_path):
+    """Full decode with order-3 fusion: device hash path ≡ host oracle with
+    the same NgramScorer, offline and chunked-streaming."""
+    from ppasr_tpu.decoders.lm import NgramScorer
+    arpa = tmp_path / "tri.arpa"
+    arpa.write_text(TRIGRAM_ARPA)
+    vocab = ['<blank>', 'a', 'b', 'c', 'd', 'e']
+    scorer = NgramScorer(str(arpa), vocab)
+    rng = np.random.default_rng(11)
+    t = 25
+    probs = rng.dirichlet(np.ones(len(vocab)) * 0.5, size=t) \
+        .astype(np.float32)
+    host = ctc_prefix_beam_search(probs.astype(np.float64), beam_size=8,
+                                  blank=0, cutoff_prob=1.0,
+                                  cutoff_top_n=len(vocab), scorer=scorer,
+                                  alpha=1.5, beta=0.3)
+    dec = JaxBeamSearchDecoder(vocab, beam_size=8, cutoff_prob=1.0,
+                               cutoff_top_n=len(vocab), alpha=1.5, beta=0.3,
+                               language_model_path=str(arpa),
+                               blank_skip_threshold=1.0)
+    assert dec.lm_hash is not None  # order 3 must pick the hash backend
+    score, text = dec.decode(probs)
+    host_text = ''.join(vocab[i] for i in host[0][1])
+    assert text == host_text
+    assert abs(score - host[0][0]) < 1e-3
+    dec.reset()
+    s = tx = None
+    for chunk in np.split(probs, [9, 18]):
+        s, tx = dec.decode_chunk(chunk)
+    assert tx == host_text
+    assert abs(s - host[0][0]) < 1e-3
+
+
 def test_match_merge_equals_sort_merge():
     """The default 'match' merge (stay↔extend hash compare) must agree with
     the 'sort' merge (sort + neighbor pair-merge) and the host oracle —
