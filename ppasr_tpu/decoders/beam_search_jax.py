@@ -75,31 +75,58 @@ def _next_pow2(x: int) -> int:
 
 # ------------------------------------------------------- hash-table LM
 
-class HashLM(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class HashLM:
     """Device-resident n-gram LM for orders >= 3 (see lm.build_hash_tables).
 
     fps/logps/backoffs are per-order tuples (n = 2..order); tuple length is
-    static under jit, so the backoff chain unrolls at trace time."""
-    uni_logp: jnp.ndarray     # [V] f32 log10 (-6.0 for absent tokens)
-    uni_found: jnp.ndarray    # [V] bool
-    uni_backoff: jnp.ndarray  # [V] f32 log10
-    fps: tuple                # n=2..order: uint32 [M_n], 0 = empty slot
-    logps: tuple              # f32 [M_n]
-    backoffs: tuple           # f32 [M_n]
+    static under jit, so the backoff chain unrolls at trace time. ``probes``
+    (per-order max probe distance recorded at build time) rides as static
+    pytree aux data — the lookup only gathers that many slots per query."""
+
+    def __init__(self, uni_logp, uni_found, uni_backoff, fps, logps,
+                 backoffs, probes):
+        self.uni_logp = uni_logp      # [V] f32 log10 (-6.0 when absent)
+        self.uni_found = uni_found    # [V] bool
+        self.uni_backoff = uni_backoff  # [V] f32 log10
+        self.fps = tuple(fps)         # n=2..order: uint32 [M_n], 0 = empty
+        self.logps = tuple(logps)     # f32 [M_n]
+        self.backoffs = tuple(backoffs)  # f32 [M_n]
+        self.probes = tuple(probes)   # static ints, n=2..order
+
+    def tree_flatten(self):
+        return ((self.uni_logp, self.uni_found, self.uni_backoff,
+                 self.fps, self.logps, self.backoffs), self.probes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, probes=aux)
+
+
+def _pad_wrap(a, pad):
+    """Append the first ``pad`` slots so an aligned window gather starting
+    anywhere in [0, M) sees the same slots as modular linear probing."""
+    return jnp.concatenate([jnp.asarray(a), jnp.asarray(a[:pad])])
 
 
 def hash_lm_from_tables(t) -> HashLM:
-    """lm.build_hash_tables output dict → device HashLM."""
+    """lm.build_hash_tables output dict → device HashLM.
+
+    Tables are padded with a wrap margin: the device lookup fetches each
+    probe window as ONE contiguous slice gather (probes× fewer gather
+    descriptors than per-slot random access)."""
+    probes = [int(p) for p in t['probes']]
     return HashLM(
         uni_logp=jnp.asarray(t['uni_logp']),
         uni_found=jnp.asarray(t['uni_found']),
         uni_backoff=jnp.asarray(t['uni_backoff']),
-        fps=tuple(jnp.asarray(fp) for fp, _, _ in t['tables']),
-        logps=tuple(jnp.asarray(lp) for _, lp, _ in t['tables']),
-        backoffs=tuple(jnp.asarray(bk) for _, _, bk in t['tables']))
-
-
-_LM_PROBES = 8  # must match lm.LM_HASH_PROBES
+        fps=tuple(_pad_wrap(fp, p - 1)
+                  for (fp, _, _), p in zip(t['tables'], probes)),
+        logps=tuple(_pad_wrap(lp, p - 1)
+                    for (_, lp, _), p in zip(t['tables'], probes)),
+        backoffs=tuple(_pad_wrap(bk, p - 1)
+                       for (_, _, bk), p in zip(t['tables'], probes)),
+        probes=tuple(probes))
 
 
 def _fmix32_dev(h):
@@ -130,17 +157,23 @@ def _hash_fold(tokens):
     return _fmix32_dev(h1), _fmix32_dev(h2)
 
 
-def _hash_probe(fp_table, h1, h2):
-    """Linear-probe lookup. Returns (found bool, flat slot index int32);
-    read values with table[flat] (meaningful only where found)."""
-    m = fp_table.shape[0]
-    idx = ((h1[..., None] + jnp.arange(_LM_PROBES, dtype=jnp.uint32))
-           & jnp.uint32(m - 1)).astype(jnp.int32)        # [..., P]
-    match = fp_table[idx] == (h2 | jnp.uint32(1))[..., None]
+def _hash_lookup(fp_table, val_table, h1, h2, probes: int):
+    """Linear-probe lookup. Returns (found bool, value); the value is read
+    at the matched slot (meaningful only where found).
+
+    The probe window is addressed as base+p on the wrap-padded table (no
+    per-probe modulo). NOTE a contiguous slice-gather (lax.gather with
+    slice_sizes=(probes,)) was measured 20× SLOWER than per-slot element
+    gathers on TPU v5e — XLA lowers multi-element slices per index through
+    a serialized DMA path; keep element gathers."""
+    m = fp_table.shape[0] - (probes - 1)
+    base = (h1 & jnp.uint32(m - 1)).astype(jnp.int32)     # [...]
+    idx = base[..., None] + jnp.arange(probes, dtype=jnp.int32)
+    match = fp_table[idx] == (h2 | jnp.uint32(1))[..., None]  # [..., P]
     found = jnp.any(match, axis=-1)
     slot = jnp.argmax(match, axis=-1)
     flat = jnp.take_along_axis(idx, slot[..., None], axis=-1)[..., 0]
-    return found, flat
+    return found, val_table[flat]
 
 
 def _hash_lm_score(lm: HashLM, ctx, cand):
@@ -164,16 +197,17 @@ def _hash_lm_score(lm: HashLM, ctx, cand):
         toks = [ctx[:, j] for j in range(n - 2, -1, -1)]  # oldest → newest
         valid = ctx[:, n - 2] >= 0  # newest-first ⇒ oldest present = all
         h1, h2 = _hash_fold([t[:, None] for t in toks] + [cand[None, :]])
-        found, flat = _hash_probe(lm.fps[n - 2], h1, h2)  # [K, N]
-        logp = lm.logps[n - 2][flat]
+        found, logp = _hash_lookup(lm.fps[n - 2], lm.logps[n - 2], h1, h2,
+                                   lm.probes[n - 2])      # [K, N]
         if n == 2:
             last = jnp.where(valid, ctx[:, 0], 0)
             bo = jnp.where(valid & lm.uni_found[last],
                            lm.uni_backoff[last], 0.0)     # [K]
         else:
             bh1, bh2 = _hash_fold(toks)                   # [K]
-            bfound, bflat = _hash_probe(lm.fps[n - 3], bh1, bh2)
-            bo = jnp.where(valid & bfound, lm.backoffs[n - 3][bflat], 0.0)
+            bfound, bval = _hash_lookup(lm.fps[n - 3], lm.backoffs[n - 3],
+                                        bh1, bh2, lm.probes[n - 3])
+            bo = jnp.where(valid & bfound, bval, 0.0)
         found = found & valid[:, None]
         f = jnp.where(found, logp, bo[:, None] + f)
     return jnp.where(lm.uni_found[cand][None, :], f, -6.0)

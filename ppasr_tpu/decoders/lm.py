@@ -143,7 +143,10 @@ def build_hash_tables(scorer: NgramScorer, vocab_list, max_order=None):
       uni_backoff  [V] f32 (log10 backoff weight, 0 when absent)
       tables       list over n = 2..order of (fp u32 [M], logp f32 [M],
                    backoff f32 [M]); M a power of two, load factor <= 0.5,
-                   every entry within LM_HASH_PROBES linear probes.
+                   every entry within LM_HASH_PROBES linear probes
+      probes       list over n = 2..order: actual max probe count needed
+                   (<= LM_HASH_PROBES) — the device lookup only gathers
+                   this many slots per query.
 
     n-grams containing tokens outside vocab_list (<s>, </s>, pruned chars)
     are dropped — the host scorer can never query them either, since its
@@ -163,6 +166,7 @@ def build_hash_tables(scorer: NgramScorer, vocab_list, max_order=None):
             uni_found[i] = True
 
     tables = []
+    probe_counts = []
     for n in range(2, order + 1):
         entries = []
         for ngram, (logp, bo) in scorer.tables.get(n, {}).items():
@@ -178,6 +182,7 @@ def build_hash_tables(scorer: NgramScorer, vocab_list, max_order=None):
             lp = np.zeros((m,), np.float32)
             bk = np.zeros((m,), np.float32)
             ok = True
+            max_probe = 1
             for ids, logp, bo in entries:
                 h1, h2 = _fold_hash(ids)
                 f = h2 | 1  # fingerprint 0 is the empty sentinel
@@ -187,6 +192,7 @@ def build_hash_tables(scorer: NgramScorer, vocab_list, max_order=None):
                         fp[s] = f
                         lp[s] = logp
                         bk[s] = bo
+                        max_probe = max(max_probe, p + 1)
                         break
                     if fp[s] == f:
                         # same slot + same fingerprint for a different
@@ -203,5 +209,7 @@ def build_hash_tables(scorer: NgramScorer, vocab_list, max_order=None):
         else:
             raise RuntimeError("LM hash table build failed to converge")
         tables.append((fp, lp, bk))
+        probe_counts.append(max_probe)
     return dict(order=order, uni_logp=uni_logp, uni_found=uni_found,
-                uni_backoff=uni_backoff, tables=tables)
+                uni_backoff=uni_backoff, tables=tables,
+                probes=probe_counts)
