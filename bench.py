@@ -161,12 +161,14 @@ def bench_eval_pipeline(model, params, iters=5, bsz=16, frames=1000,
         np.random.default_rng(0).standard_normal((bsz, frames, 80)) * 0.3,
         jnp.float32)
     lens = jnp.full((bsz,), frames, jnp.int32)
-    fwd = jax.jit(lambda p, s, l: bf_model.apply(p, s, l,
-                                                 method='get_encoder_out'))
+    # the production eval path: CTC logits feed candidate precompute
+    # directly (no f32 [B,T,V] softmax materialization)
+    fwd = jax.jit(lambda p, s, l: bf_model.apply(
+        p, s, l, method='get_encoder_logits'))
     dec = JaxBeamSearchDecoder([str(i) for i in range(vocab)], beam_size=10)
     def run():
-        probs, olens = fwd(params, speech, lens)
-        return dec.decode_batch(probs, np.asarray(olens))
+        logits, olens = fwd(params, speech, lens)
+        return dec.decode_batch_from_logits(logits, np.asarray(olens))
     run()  # compile
     start = time.perf_counter()
     for _ in range(iters):

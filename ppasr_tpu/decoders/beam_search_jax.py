@@ -243,6 +243,32 @@ def precompute_candidates(probs, blank, top_n, cutoff_prob,
     return lp_blank, cand.astype(jnp.int32), cand_lp
 
 
+def candidates_from_logits(logits, lse, blank, top_n, cutoff_prob,
+                           prune_method: str = 'exact'):
+    """[..., V] LOGITS (any float dtype) + precomputed f32 logsumexp [...]
+    → (cand [..., N] int32, cand_lp [..., N] f32).
+
+    Numerically ≡ precompute_candidates on softmax(logits): top-k commutes
+    with the monotone softmax, cand_lp = logit − logsumexp = log softmax,
+    and the probs path's log(max(p, 1e-30)) floor is mirrored by clamping
+    at log(1e-30) — WITHOUT ever materializing the f32 [..., V] posterior
+    (at B=64×10 s that tensor costs ~1.4 ms/step in softmax + result-layout
+    copy alone)."""
+    v = logits.shape[-1]
+    no_blank = jnp.where(jnp.arange(v) == blank,
+                         jnp.asarray(NEG_INF, logits.dtype), logits)
+    if prune_method == 'approx':
+        cand_v, cand = jax.lax.approx_max_k(no_blank, top_n)
+    else:
+        cand_v, cand = jax.lax.top_k(no_blank, top_n)
+    raw_lp = cand_v.astype(jnp.float32) - lse[..., None]
+    cand_p = jnp.exp(raw_lp)  # exp(-inf) = 0 for the blank slot
+    keep = jnp.cumsum(cand_p, axis=-1) - cand_p < cutoff_prob
+    cand_lp = jnp.maximum(raw_lp, math.log(1e-30))
+    cand_lp = jnp.where(keep, cand_lp, NEG_INF)
+    return cand.astype(jnp.int32), cand_lp
+
+
 def compact_candidate_frames(lp_blank, cand, cand_lp, lens,
                              blank_skip_threshold: float):
     """Drop frames dominated by blank, in candidate space.
@@ -774,6 +800,57 @@ class JaxBeamSearchDecoder:
             return cand, jnp.where(valid[:, :, None], cand_lp, NEG_INF)
         self._jit_gather_topk = jax.jit(gather_topk)
 
+        def prep_logits(logits, lens):
+            # softmax-free phase 1 (no compaction): candidates straight
+            # from logits — the f32 [B, T, V] posterior never exists
+            lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+            lp_blank = jnp.maximum(
+                logits[..., self.blank_index].astype(jnp.float32) - lse,
+                math.log(1e-30))
+            cand, cand_lp = candidates_from_logits(
+                logits, lse, self.blank_index, self.cutoff_top_n,
+                self.cutoff_prob, self.prune_method)
+            return lp_blank, cand, cand_lp, lens
+        self._jit_prep_logits = jax.jit(prep_logits)
+
+        def keep_map_logits(logits, lens):
+            """Phase 1a from logits: one logsumexp reduction + the blank
+            column replace the full softmax (keep decision and packed
+            lp_blank identical to keep_map on softmax(logits) up to float
+            rounding); the per-frame logsumexp is left-packed alongside so
+            phase 1b can normalize gathered candidate logits."""
+            bsz, t_max, _ = logits.shape
+            lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+            lp_b = jnp.maximum(
+                logits[:, :, self.blank_index].astype(jnp.float32) - lse,
+                math.log(1e-30))
+            keep = (lp_b < math.log(self.blank_skip_threshold)) \
+                & (jnp.arange(t_max)[None, :] < lens[:, None])
+            pos = jnp.cumsum(keep, axis=1) - 1
+            dst = jnp.where(keep, pos, t_max - 1)
+            scat = jax.vmap(lambda d, p, s: d.at[p].set(s))
+            t_iota = jnp.tile(jnp.arange(t_max, dtype=jnp.int32)[None, :],
+                              (bsz, 1))
+            src = scat(jnp.zeros((bsz, t_max), jnp.int32), dst, t_iota)
+            lp_blank = scat(jnp.zeros((bsz, t_max), jnp.float32), dst, lp_b)
+            lse_packed = scat(jnp.zeros((bsz, t_max), jnp.float32), dst, lse)
+            raw_lens = keep.sum(axis=1).astype(jnp.int32)
+            new_lens = jnp.maximum(raw_lens, 1)
+            return src, lp_blank, lse_packed, new_lens, raw_lens
+        self._jit_keep_logits = jax.jit(keep_map_logits)
+
+        def gather_topk_logits(logits, lse_packed, src_b, raw_lens):
+            """Phase 1b from logits: gather kept rows (half the HBM traffic
+            of the f32-posterior gather when compute dtype is bf16)."""
+            rows = jnp.take_along_axis(logits, src_b[:, :, None], axis=1)
+            cand, cand_lp = candidates_from_logits(
+                rows, lse_packed, self.blank_index, self.cutoff_top_n,
+                self.cutoff_prob, self.prune_method)
+            t_idx = jnp.arange(src_b.shape[1], dtype=jnp.int32)
+            valid = t_idx[None, :] < raw_lens[:, None]
+            return cand, jnp.where(valid[:, :, None], cand_lp, NEG_INF)
+        self._jit_gather_topk_logits = jax.jit(gather_topk_logits)
+
         def scan_states(lp_blank, cand, cand_lp, lens):
             bsz = lp_blank.shape[0]
             init = jax.vmap(lambda _: init_beam_state(
@@ -817,6 +894,38 @@ class JaxBeamSearchDecoder:
         """Batch decode returning the device-resident BeamState (all K
         hypotheses), for attention rescoring."""
         lp_blank, cand, cand_lp, lens = self._prepped(probs_batch, lens)
+        return self._jit_scan_states(lp_blank, cand, cand_lp, lens)
+
+    # ------------------------------------------------- softmax-free fast path
+
+    def _prepped_from_logits(self, logits, lens):
+        """Phase 1 straight from CTC logits (model.get_encoder_logits):
+        same candidates/compaction as _prepped on softmax(logits), but the
+        f32 [B, T, V] posterior is never materialized and the kept-row
+        gather moves compute-dtype (bf16) rows."""
+        logits = jnp.asarray(logits)
+        lens = jnp.asarray(np.asarray(lens), jnp.int32)
+        self._build_fns()
+        if self.blank_skip_threshold >= 1.0:
+            return self._jit_prep_logits(logits, lens)
+        src, lp_blank, lse_p, new_lens, raw_lens = \
+            self._jit_keep_logits(logits, lens)
+        t_needed = int(jnp.max(new_lens))
+        bucket = min(max(64, ((t_needed + 63) // 64) * 64),
+                     logits.shape[1])
+        cand, cand_lp = self._jit_gather_topk_logits(
+            logits, lse_p[:, :bucket], src[:, :bucket], raw_lens)
+        return lp_blank[:, :bucket], cand, cand_lp, new_lens
+
+    def decode_batch_from_logits(self, logits, lens):
+        lp_blank, cand, cand_lp, lens = self._prepped_from_logits(logits,
+                                                                  lens)
+        packed = self._jit_scan(lp_blank, cand, cand_lp, lens)
+        return unpack_results(packed, self.vocab_list)
+
+    def decode_batch_states_from_logits(self, logits, lens) -> BeamState:
+        lp_blank, cand, cand_lp, lens = self._prepped_from_logits(logits,
+                                                                  lens)
         return self._jit_scan_states(lp_blank, cand, cand_lp, lens)
 
     def decode(self, probs):

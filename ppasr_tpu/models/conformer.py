@@ -125,6 +125,16 @@ class ConformerModel(nn.Module):
         out_lens = encoder_mask[:, 0, :].sum(axis=-1).astype(jnp.int32)
         return log_probs, out_lens
 
+    def get_encoder_logits(self, speech, speech_lens):
+        """CTC LOGITS in the model compute dtype (no f32 [B, T', V] softmax
+        materialization — the batch-decode fast path derives beam candidates
+        from logits + logsumexp directly; see
+        JaxBeamSearchDecoder.decode_batch_from_logits)."""
+        encoder_out, encoder_mask = self._encode_full(speech, speech_lens)
+        logits = self.ctc.logits(encoder_out)
+        out_lens = encoder_mask[:, 0, :].sum(axis=-1).astype(jnp.int32)
+        return logits, out_lens
+
     def encode_for_rescore(self, speech, speech_lens):
         """One forward producing both the encoder output (for attention
         rescoring) and the CTC posteriors (for the beam's first pass).

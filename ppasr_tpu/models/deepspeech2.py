@@ -157,6 +157,11 @@ class DeepSpeech2Model(nn.Module):
         eouts, eouts_len, _ = self.encoder(speech, speech_lens)
         return self.ctc.log_softmax(eouts), eouts_len
 
+    def get_encoder_logits(self, speech, speech_lens):
+        """CTC logits (compute dtype) for the softmax-free decode path."""
+        eouts, eouts_len, _ = self.encoder(speech, speech_lens)
+        return self.ctc.logits(eouts), eouts_len
+
     def get_encoder_out_chunk(self, speech, speech_lens, state: DS2State):
         eouts, eouts_len, new_state = self.encoder(speech, speech_lens, state)
         return self.ctc.softmax(eouts), eouts_len, new_state

@@ -550,6 +550,15 @@ class SqueezeformerModel(nn.Module):
         out_lens = encoder_mask[:, 0, :].sum(axis=-1).astype(jnp.int32)
         return probs, out_lens
 
+    def get_encoder_logits(self, speech, speech_lens):
+        """CTC logits (compute dtype) for the softmax-free decode path."""
+        encoder_out, encoder_mask = self.encoder(
+            speech, speech_lens,
+            decoding_chunk_size=-1 if self.streaming else 0)
+        logits = self.ctc.logits(encoder_out)
+        out_lens = encoder_mask[:, 0, :].sum(axis=-1).astype(jnp.int32)
+        return logits, out_lens
+
     def get_ctc_log_probs(self, speech, speech_lens):
         encoder_out, encoder_mask = self.encoder(
             speech, speech_lens,

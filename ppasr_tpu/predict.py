@@ -151,6 +151,10 @@ class PPASRPredictor:
 
         self._predict_fn = jax.jit(lambda p, s, l: self.model.apply(
             p, s, l, method='get_encoder_out'))
+        # softmax-free batch-decode fast path (CTC logits → candidates)
+        self._predict_logits_fn = jax.jit(lambda p, s, l: self.model.apply(
+            p, s, l, method='get_encoder_logits')) \
+            if hasattr(self.model, 'get_encoder_logits') else None
         if self.use_model == 'deepspeech2':
             self._chunk_fn = jax.jit(
                 lambda p, x, xl, st: self.model.apply(
@@ -350,11 +354,21 @@ class PPASRPredictor:
             results = self._rescorer.decode_batch_rescore(
                 self.params, enc_out, probs, np.asarray(olens))
         elif self._beam_decoder is not None:
-            probs, olens = self._predict_fn(self.params, jnp.asarray(batch),
-                                            jnp.asarray(lens))
-            # device arrays pass through as-is (JAX decoder stays on device)
-            results = self._beam_decoder.decode_batch(probs,
-                                                      np.asarray(olens))
+            if (self._predict_logits_fn is not None and hasattr(
+                    self._beam_decoder, 'decode_batch_from_logits')):
+                # softmax-free: logits → on-device candidates directly
+                logits, olens = self._predict_logits_fn(
+                    self.params, jnp.asarray(batch), jnp.asarray(lens))
+                results = self._beam_decoder.decode_batch_from_logits(
+                    logits, np.asarray(olens))
+            else:
+                probs, olens = self._predict_fn(self.params,
+                                                jnp.asarray(batch),
+                                                jnp.asarray(lens))
+                # device arrays pass through as-is (JAX decoder stays on
+                # device)
+                results = self._beam_decoder.decode_batch(
+                    probs, np.asarray(olens))
         else:
             from ppasr_tpu.decoders.greedy import greedy_decoder_batch
             probs, olens = self._predict_fn(self.params, jnp.asarray(batch),

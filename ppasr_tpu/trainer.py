@@ -595,6 +595,12 @@ class PPASRTrainer:
             self._eval_model = model
             self._eval_fn = jax.jit(lambda p, s, l: model.apply(
                 p, s, l, method='get_encoder_out'))
+            # softmax-free variant for the on-device beam backend: CTC
+            # logits go straight into candidate precompute (the f32
+            # [B,T,V] posterior never materializes)
+            self._eval_logits_fn = jax.jit(lambda p, s, l: model.apply(
+                p, s, l, method='get_encoder_logits')) \
+                if hasattr(model, 'get_encoder_logits') else None
             self._eval_loss_fn = jax.jit(lambda p, s, l, t, tl: model.apply(
                 p, s, l, t, tl, deterministic=True)['loss'])
             self._eval_rescore_fn = jax.jit(lambda p, s, l: model.apply(
@@ -612,6 +618,8 @@ class PPASRTrainer:
         rescoring = (decoder is not None
                      and getattr(decoder, 'needs_encoder_out', False)
                      and self._eval_rescore_fn is not None)
+        from_logits = (not rescoring and self._eval_logits_fn is not None
+                       and hasattr(decoder, 'decode_batch_from_logits'))
         errors, losses = [], []
         for i, (inputs, labels, in_lens, lab_lens) in enumerate(loader):
             if max_batches is not None and i >= max_batches:
@@ -619,6 +627,9 @@ class PPASRTrainer:
             encoder_out = None
             if rescoring:
                 encoder_out, probs, olens = self._eval_rescore_fn(
+                    params, jnp.asarray(inputs), jnp.asarray(in_lens))
+            elif from_logits:
+                probs, olens = self._eval_logits_fn(
                     params, jnp.asarray(inputs), jnp.asarray(in_lens))
             else:
                 probs, olens = eval_fn(params, jnp.asarray(inputs),
@@ -630,6 +641,9 @@ class PPASRTrainer:
             if rescoring:
                 results = decoder.decode_batch_rescore(
                     params, encoder_out, probs, np.asarray(olens))
+            elif from_logits:
+                results = decoder.decode_batch_from_logits(
+                    probs, np.asarray(olens))
             elif decoder is not None and not getattr(
                     decoder, 'needs_encoder_out', False):
                 # device arrays pass through as-is: the JAX decoder keeps

@@ -1,5 +1,6 @@
 """Vectorized on-device beam search vs the host numpy oracle."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ppasr_tpu.decoders.beam_search import ctc_prefix_beam_search
@@ -238,6 +239,71 @@ def test_match_merge_equals_sort_merge():
                                   beam_size=10, blank=0, cutoff_prob=0.99,
                                   cutoff_top_n=20)
     assert out['match'][1][1] == ''.join(VOCAB[i] for i in host[0][1])
+
+
+def test_decode_from_logits_matches_probs_path():
+    """The softmax-free path (decode_batch_from_logits over bf16 logits)
+    must produce the same transcripts/scores as decode_batch over the f32
+    softmax of the SAME bf16 logits — with compaction on and off, exact and
+    approx pruning."""
+    rng = np.random.default_rng(3)
+    b, t = 3, 30
+    logits32 = (rng.standard_normal((b, t, V)) * 3).astype(np.float32)
+    logits32[:, ::2, 0] += 9.0  # blank-dominated frames so compaction bites
+    logits = jnp.asarray(logits32, jnp.bfloat16)
+    probs = jax.nn.softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+    lens = [t, t - 7, 5]
+    for thresh in (1.0, 0.9):
+        for prune in ('exact',):
+            dp = JaxBeamSearchDecoder(VOCAB, beam_size=8, cutoff_prob=0.99,
+                                      cutoff_top_n=12, alpha=0, beta=0,
+                                      blank_skip_threshold=thresh,
+                                      prune_method=prune)
+            dl = JaxBeamSearchDecoder(VOCAB, beam_size=8, cutoff_prob=0.99,
+                                      cutoff_top_n=12, alpha=0, beta=0,
+                                      blank_skip_threshold=thresh,
+                                      prune_method=prune)
+            rp = dp.decode_batch(probs, lens)
+            rl = dl.decode_batch_from_logits(logits, lens)
+            for (sp, tp), (sl, tl) in zip(rp, rl):
+                assert tp == tl, (thresh, prune, tp, tl)
+                assert abs(sp - sl) < 1e-2, (thresh, prune, sp, sl)
+
+
+def test_model_logits_path_equals_probs_path():
+    """get_encoder_logits + decode_batch_from_logits ≡ get_encoder_out +
+    decode_batch through a real model forward."""
+    import jax as _jax
+    from ppasr_tpu.models.factory import build_model
+    model = build_model('conformer', 80, V, streaming=False,
+                        encoder_conf=dict(output_size=32,
+                                          attention_heads=2,
+                                          linear_units=48, num_blocks=1,
+                                          cnn_module_kernel=7),
+                        decoder_conf=dict(attention_heads=2,
+                                          linear_units=32, num_blocks=1,
+                                          r_num_blocks=1),
+                        model_conf=dict(ctc_weight=0.3, lsm_weight=0.1,
+                                        reverse_weight=0.3))
+    rng = _jax.random.PRNGKey(0)
+    speech = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, 96, 80)), jnp.float32)
+    lens = jnp.asarray([96, 64])
+    params = model.init({'params': rng, 'dropout': rng, 'chunk': rng},
+                        speech, lens, jnp.asarray([[1, 2, -1]] * 2,
+                                                  jnp.int32),
+                        jnp.asarray([2, 2]), deterministic=False)
+    probs, ol = model.apply(params, speech, lens, method='get_encoder_out')
+    logits, ol2 = model.apply(params, speech, lens,
+                              method='get_encoder_logits')
+    assert np.array_equal(np.asarray(ol), np.asarray(ol2))
+    dec = JaxBeamSearchDecoder(VOCAB, beam_size=6, alpha=0, beta=0)
+    rp = dec.decode_batch(probs, np.asarray(ol))
+    rl = JaxBeamSearchDecoder(VOCAB, beam_size=6, alpha=0, beta=0) \
+        .decode_batch_from_logits(logits, np.asarray(ol))
+    for (sp, tp), (sl, tl) in zip(rp, rl):
+        assert tp == tl
+        assert abs(sp - sl) < 1e-3
 
 
 def test_all_blank_utterance_compaction():

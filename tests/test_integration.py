@@ -112,6 +112,31 @@ def test_full_pipeline(workspace):
     assert 'text' in result
     predictor.reset_stream()
 
+    # beam-search eval: the softmax-free logits fast path must produce
+    # the same error rate as the probs path over the trained artifacts
+    beam_cfg = dict(workspace)
+    beam_cfg['decoder'] = 'ctc_beam_search'
+    beam_cfg['ctc_beam_search_decoder_conf'] = {
+        'beam_size': 5, 'cutoff_prob': 1.0, 'cutoff_top_n': 7,
+        'alpha': 0.0, 'beta': 0.0}
+    trainer_bm = PPASRTrainer(configs=beam_cfg)
+    err_bm, _ = trainer_bm.evaluate(resume_model='models/')
+    assert trainer_bm._eval_logits_fn is not None  # fast path was taken
+    trainer_bm2 = PPASRTrainer(configs=beam_cfg)
+    err_bm2, _ = trainer_bm2.evaluate(resume_model='models/')
+    trainer_bm2._eval_logits_fn = None  # force the probs path
+    err_bm2b, _ = trainer_bm2.evaluate(resume_model='models/')
+    assert err_bm == err_bm2 == err_bm2b
+    # predict_batch drives the same fast path through the predictor
+    predictor_bm = PPASRPredictor(configs=beam_cfg, model_path=infer_dir)
+    assert predictor_bm._beam_decoder is not None
+    assert predictor_bm._predict_logits_fn is not None
+    batch_results = predictor_bm.predict_batch([FIXTURE, FIXTURE])
+    assert len(batch_results) == 2
+    assert batch_results[0]['text'] == batch_results[1]['text']
+    single = predictor_bm.predict(FIXTURE)
+    assert batch_results[0]['text'] == single['text']
+
     # attention rescoring (beyond-reference decode mode) over the same
     # trained artifacts: trainer eval + offline predict
     rescore_cfg = dict(workspace)
