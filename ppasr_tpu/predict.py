@@ -342,9 +342,14 @@ class PPASRPredictor:
         bucket = max(self.time_bucket_frames,
                      int(math.ceil(max_t / self.time_bucket_frames))
                      * self.time_bucket_frames)
-        batch = np.zeros((len(feats), bucket, feats[0].shape[1]),
+        # batch axis padded to a power of two: one compiled program per
+        # (B-bucket, T-bucket) pair instead of one per exact batch size
+        # (predict_long feeds arbitrary VAD segment counts through here)
+        n = len(feats)
+        b_bucket = 1 << (n - 1).bit_length() if n > 1 else 1
+        batch = np.zeros((b_bucket, bucket, feats[0].shape[1]),
                          np.float32)
-        lens = np.zeros((len(feats),), np.int32)
+        lens = np.zeros((b_bucket,), np.int32)
         for i, f in enumerate(feats):
             batch[i, :f.shape[0]] = f
             lens[i] = f.shape[0]
@@ -377,7 +382,7 @@ class PPASRPredictor:
                                            np.asarray(olens),
                                            self.vocab_list)
         out = []
-        for score, text in results:
+        for score, text in list(results)[:n]:  # drop batch-padding rows
             if use_pun and text:
                 text = self._restore_punctuation(text)
             if is_itn and text:
@@ -397,15 +402,19 @@ class PPASRPredictor:
         speeches = vad.get_speech_timestamps(audio.samples)
         if not speeches:
             speeches = [{'start': 0, 'end': audio.num_samples}]
-        texts, scores = [], []
         samples = audio.samples
-        for seg in speeches:
-            part = AudioSegment(samples[seg['start']:seg['end']],
-                                audio.sample_rate)
-            result = self.predict(part, use_pun=False, is_itn=is_itn)
-            if result['text']:
-                texts.append(result['text'])
-                scores.append(result['score'])
+        parts = [AudioSegment(samples[seg['start']:seg['end']].copy(),
+                              audio.sample_rate) for seg in speeches]
+        # VAD segments through padded batch passes (duration-bucketed in
+        # predict_batch) instead of the reference's per-segment predict
+        # loop (predict.py:203-219); groups of <=32 bound the padded
+        # [B, T_max, V] activation memory on hour-long recordings
+        results = []
+        for i in range(0, len(parts), 32):
+            results.extend(self.predict_batch(parts[i:i + 32],
+                                              use_pun=False, is_itn=is_itn))
+        texts = [r['text'] for r in results if r['text']]
+        scores = [r['score'] for r in results if r['text']]
         text = '，'.join(texts)
         if use_pun and text:
             text = self._restore_punctuation(text)

@@ -112,6 +112,20 @@ def test_full_pipeline(workspace):
     assert 'text' in result
     predictor.reset_stream()
 
+    # long-audio: VAD segmentation → batched segment decode (+ the
+    # power-of-two batch padding path inside predict_batch)
+    seg_l = AudioSegment.from_file(FIXTURE)
+    gap = np.zeros(12000, np.float32)
+    long_samples = np.concatenate(
+        [seg_l.samples[:32000], gap, seg_l.samples[:24000], gap,
+         seg_l.samples[32000:64000]])
+    long_result = predictor.predict_long(
+        AudioSegment(long_samples, 16000))
+    assert 'text' in long_result and np.isfinite(long_result['score'])
+    odd_batch = predictor.predict_batch([FIXTURE] * 3)  # pads B 3 → 4
+    assert len(odd_batch) == 3
+    assert odd_batch[0]['text'] == odd_batch[2]['text']
+
     # beam-search eval: the softmax-free logits fast path must produce
     # the same error rate as the probs path over the trained artifacts
     beam_cfg = dict(workspace)
@@ -151,6 +165,10 @@ def test_full_pipeline(workspace):
     assert predictor_rs._rescorer is not None, "rescorer fell back"
     result_rs = predictor_rs.predict(FIXTURE)
     assert 'text' in result_rs and np.isfinite(result_rs['score'])
+
+    batch_rs = predictor_rs.predict_batch([FIXTURE] * 3)  # pads B 3 → 4
+    assert len(batch_rs) == 3
+    assert batch_rs[0]['text'] == batch_rs[2]['text']
 
     # streaming session: incremental greedy partials, one final rescoring
     # pass over the accumulated utterance at is_end
