@@ -705,17 +705,83 @@ class JaxBeamSearchDecoder:
                 self._load_lm(language_model_path)
         self.reset()
 
-    def _load_lm(self, path):
+    def _lm_cache_meta(self, path):
+        """Cache key for the flattened LM arrays: the tables depend on the
+        ARPA file AND the vocab-id mapping."""
+        import hashlib
+        import os
+        st = os.stat(path)
+        vh = hashlib.sha1(
+            '\n'.join(self.vocab_list).encode('utf-8')).hexdigest()
+        return np.asarray([st.st_mtime_ns, st.st_size], np.int64), vh
+
+    def _load_lm_hash_cached(self, path):
+        """build_hash_tables output, cached to <arpa>.tpu_lm.npz —
+        production ARPAs (tens of millions of n-grams) cost minutes of
+        Python parse+build per process otherwise."""
+        import os
         from ppasr_tpu.decoders.lm import NgramScorer, build_hash_tables
+        cache = path + '.tpu_lm.npz'
+        meta, vh = self._lm_cache_meta(path)
+        if os.path.exists(cache):
+            try:
+                z = np.load(cache, allow_pickle=False)
+                if (np.array_equal(z['meta'], meta)
+                        and str(z['vocab_sha1']) == vh):
+                    n_orders = int(z['n_orders'])
+                    return dict(
+                        order=int(z['order']),
+                        uni_logp=z['uni_logp'], uni_found=z['uni_found'],
+                        uni_backoff=z['uni_backoff'],
+                        tables=[(z[f'fp{i}'], z[f'lp{i}'], z[f'bk{i}'])
+                                for i in range(n_orders)],
+                        probes=[int(p) for p in z['probes']])
+            except Exception:
+                pass  # unreadable/stale cache: rebuild below
         scorer = NgramScorer(path, self.vocab_list)
+        t = build_hash_tables(scorer, self.vocab_list)
+        try:
+            arrs = dict(meta=meta, vocab_sha1=np.str_(vh),
+                        order=np.int64(t['order']),
+                        n_orders=np.int64(len(t['tables'])),
+                        uni_logp=t['uni_logp'], uni_found=t['uni_found'],
+                        uni_backoff=t['uni_backoff'],
+                        probes=np.asarray(t['probes'], np.int64))
+            for i, (fp, lp, bk) in enumerate(t['tables']):
+                arrs[f'fp{i}'], arrs[f'lp{i}'], arrs[f'bk{i}'] = fp, lp, bk
+            tmp = cache + '.tmp.npz'
+            np.savez(tmp, **arrs)
+            os.replace(tmp, cache)
+        except Exception:
+            pass  # read-only LM dir: serve uncached
+        return t
+
+    def _load_lm(self, path):
+        from ppasr_tpu.decoders.lm import NgramScorer
+
+        def peek_order(p):
+            import gzip
+            opener = gzip.open if p.endswith('.gz') else open
+            order = 0
+            with opener(p, 'rt', encoding='utf-8') as f:
+                for line in f:
+                    line = line.strip()
+                    if line.startswith('ngram '):
+                        order = max(order,
+                                    int(line[6:line.index('=')]))
+                    elif line.startswith('\\1-grams'):
+                        break
+            return order
+        order = peek_order(path)
         if self.lm_fusion == 'hash' or (self.lm_fusion == 'auto'
-                                        and scorer.order >= 3):
+                                        and order >= 3):
             # orders 3+: the dense [V, V] table can't carry trigram+
             # context — probing hash tables keep the full backoff chain
             # on device (one probe set per order inside the scan)
             self.lm_hash = hash_lm_from_tables(
-                build_hash_tables(scorer, self.vocab_list))
+                self._load_lm_hash_cached(path))
             return
+        scorer = NgramScorer(path, self.vocab_list)
         v = len(self.vocab_list)
         uni = np.full((v,), -6.0, np.float32)
         for i, tok in enumerate(self.vocab_list):

@@ -241,6 +241,34 @@ def test_match_merge_equals_sort_merge():
     assert out['match'][1][1] == ''.join(VOCAB[i] for i in host[0][1])
 
 
+def test_hash_lm_npz_cache_roundtrip(tmp_path):
+    """Second load of the same ARPA hits the .tpu_lm.npz cache with
+    identical tables; a vocab change invalidates it."""
+    import os
+    arpa = tmp_path / "tri.arpa"
+    arpa.write_text(TRIGRAM_ARPA)
+    vocab = ['<blank>', 'a', 'b', 'c', 'd', 'e']
+    d1 = JaxBeamSearchDecoder(vocab, beam_size=4, alpha=1.0, beta=0.0,
+                              language_model_path=str(arpa))
+    cache = str(arpa) + '.tpu_lm.npz'
+    assert os.path.exists(cache)
+    mtime = os.path.getmtime(cache)
+    d2 = JaxBeamSearchDecoder(vocab, beam_size=4, alpha=1.0, beta=0.0,
+                              language_model_path=str(arpa))
+    assert os.path.getmtime(cache) == mtime  # not rebuilt
+    for a, b in zip(jax.tree.leaves(d1.lm_hash),
+                    jax.tree.leaves(d2.lm_hash)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert d1.lm_hash.probes == d2.lm_hash.probes
+    # different vocab mapping → cache invalid → rebuilt, different tables
+    vocab2 = ['<blank>', 'b', 'a', 'c', 'd', 'e']
+    d3 = JaxBeamSearchDecoder(vocab2, beam_size=4, alpha=1.0, beta=0.0,
+                              language_model_path=str(arpa))
+    assert os.path.getmtime(cache) != mtime
+    assert not np.array_equal(np.asarray(d1.lm_hash.uni_logp),
+                              np.asarray(d3.lm_hash.uni_logp))
+
+
 def test_decode_from_logits_matches_probs_path():
     """The softmax-free path (decode_batch_from_logits over bf16 logits)
     must produce the same transcripts/scores as decode_batch over the f32
