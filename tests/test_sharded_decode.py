@@ -88,3 +88,14 @@ def test_encoder_to_decode_chain_sharded():
     ref = dec.decode_batch(jax.device_put(jnp.asarray(np.asarray(probs))),
                            np.asarray(olens))
     assert results == ref
+
+    # softmax-free fast path: sharded logits chain must match too
+    fwd_l = jax.jit(lambda p, s, l: model.apply(
+        p, s, l, method='get_encoder_logits'))
+    logits, olens_l = fwd_l(params, speech, lens)
+    assert len(logits.sharding.device_set) == 8, logits.sharding
+    dec_l = JaxBeamSearchDecoder([str(i) for i in range(40)], beam_size=4)
+    results_l = dec_l.decode_batch_from_logits(logits, np.asarray(olens_l))
+    for (s_l, t_l), (s_r, t_r) in zip(results_l, ref):
+        assert t_l == t_r  # scores: log-domain vs softmax-div rounding
+        assert abs(s_l - s_r) < 1e-3
