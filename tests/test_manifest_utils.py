@@ -1,0 +1,155 @@
+"""Unit coverage for the manifest/dataset utilities
+(reference ppasr/data_utils/utils.py + binary.py surfaces that were
+previously only driven indirectly through create_data runs)."""
+import json
+import os
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from ppasr_tpu.data.audio import AudioSegment
+from ppasr_tpu.data.binary import DatasetReader
+from ppasr_tpu.data.manifest import (buf_to_float, change_rate, count_manifest,
+                                     create_manifest, create_manifest_binary,
+                                     create_noise, is_ustr, merge_audio,
+                                     read_manifest)
+
+
+def _write_wav(path, seconds, sr=16000, freq=440.0):
+    t = np.arange(int(seconds * sr)) / sr
+    seg = AudioSegment(0.1 * np.sin(2 * np.pi * freq * t).astype(np.float32),
+                       sr)
+    seg.to_wav_file(str(path))
+    return str(path)
+
+
+def test_is_ustr_filters_to_zh_en():
+    assert is_ustr('近几年, hello! 你好123。') == '近几年 hello 你好123'
+
+
+def test_buf_to_float_int16_scaling():
+    pcm = np.asarray([0, 16384, -32768, 32767], np.int16)
+    out = buf_to_float(pcm.tobytes(), n_bytes=2)
+    np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0)
+    assert out.dtype == np.float32
+
+
+def test_create_manifest_split_sort_and_test_file(tmp_path):
+    ann = tmp_path / 'annotation'
+    wavs = tmp_path / 'wav'
+    ann.mkdir(), wavs.mkdir()
+    # main annotation: durations descending so sorting is observable
+    lines = []
+    for i in range(4):
+        p = _write_wav(wavs / f'a{i}.wav', seconds=2.0 - 0.3 * i)
+        lines.append(f'{p}\t你好世界{i}')
+    (ann / 'train.txt').write_text('\n'.join(lines), encoding='utf-8')
+    # dedicated test.txt goes entirely to the test manifest
+    tp = _write_wav(wavs / 'tt.wav', seconds=1.0)
+    (ann / 'test.txt').write_text(f'{tp}\t测试, 语音!', encoding='utf-8')
+
+    train_m = tmp_path / 'manifest.train'
+    test_m = tmp_path / 'manifest.test'
+    create_manifest(str(ann), str(train_m), str(test_m))
+
+    train = read_manifest(str(train_m))
+    test = read_manifest(str(test_m))
+    assert len(train) == 4 and len(test) == 1
+    durs = [e['duration'] for e in train]
+    assert durs == sorted(durs)  # sortagrad epoch-0 ordering
+    assert test[0]['text'] == '测试 语音'  # punctuation filtered
+    for e in train + test:
+        assert os.path.exists(e['audio_filepath'])
+
+
+def test_change_rate_resamples_in_place(tmp_path):
+    p = _write_wav(tmp_path / 'x.wav', seconds=0.5, sr=8000)
+    change_rate(p, target_sr=16000)
+    seg = AudioSegment.from_file(p)
+    assert seg.sample_rate == 16000
+    assert abs(seg.duration - 0.5) < 0.01
+
+
+def test_create_noise_manifest(tmp_path):
+    noise_dir = tmp_path / 'noise'
+    noise_dir.mkdir()
+    _write_wav(noise_dir / 'n1.wav', seconds=1.2)
+    _write_wav(noise_dir / 'n2.wav', seconds=0.8)
+    (noise_dir / 'not_audio.bin').write_bytes(b'junk')
+    out = tmp_path / 'manifest.noise'
+    create_noise(str(noise_dir), str(out))
+    entries = [json.loads(l) for l in
+               out.read_text(encoding='utf-8').splitlines()]
+    assert len(entries) == 2
+    assert all(e['text'] == '' for e in entries)
+    assert {round(e['duration'], 1) for e in entries} == {1.2, 0.8}
+
+
+def test_create_manifest_binary_roundtrip(tmp_path):
+    entries = [{'audio_filepath': f'u{i}.wav',
+                'duration': 1.0 + i, 'text': f'第{i}句'} for i in range(5)]
+    train_m = tmp_path / 'manifest.train'
+    test_m = tmp_path / 'manifest.test'
+    for p in (train_m, test_m):
+        p.write_text('\n'.join(json.dumps(e, ensure_ascii=False)
+                               for e in entries), encoding='utf-8')
+    create_manifest_binary(str(train_m), str(test_m))
+    reader = DatasetReader(str(train_m), min_duration=0, max_duration=20)
+    assert len(reader) == 5
+    assert reader.get_data(3)['text'] == '第3句'
+    reader.close()
+    # duration filter drops out-of-range records
+    reader = DatasetReader(str(train_m), min_duration=2.5, max_duration=4.5)
+    assert [e['duration'] for e in
+            (reader.get_data(i) for i in range(len(reader)))] == [3.0, 4.0]
+    reader.close()
+
+
+def test_merge_audio_packs_and_timestamps(tmp_path):
+    ann = tmp_path / 'annotation'
+    wavs = tmp_path / 'wav'
+    merged_dir = tmp_path / 'merged'
+    ann.mkdir(), wavs.mkdir()
+    lines = []
+    for i in range(4):
+        p = _write_wav(wavs / f'm{i}.wav', seconds=1.0, freq=300 + 100 * i)
+        lines.append(f'{p}\t句子{i}')
+    (ann / 'corpus.txt').write_text('\n'.join(lines), encoding='utf-8')
+
+    # max_duration 2 s → two packed files of two utterances each
+    merge_audio(str(ann), str(merged_dir), max_duration=2.0)
+    out = ann / 'corpus.txt.merged.jsonl'
+    entries = [json.loads(l) for l in
+               out.read_text(encoding='utf-8').splitlines()]
+    assert len(entries) == 4
+    packed_files = sorted({e['audio_filepath'] for e in entries})
+    assert len(packed_files) == 2
+    for f in packed_files:
+        seg = AudioSegment.from_file(f)
+        assert abs(seg.duration - 2.0) < 0.01
+    # timestamps tile each packed file contiguously
+    by_file = {}
+    for e in entries:
+        by_file.setdefault(e['audio_filepath'], []).append(e)
+    for es in by_file.values():
+        es.sort(key=lambda e: e['start_time'])
+        assert es[0]['start_time'] == 0.0
+        assert es[0]['end_time'] == pytest.approx(es[1]['start_time'])
+        assert es[1]['end_time'] == pytest.approx(2.0, abs=0.01)
+    # the slice a dataset would read matches the original utterance
+    e = entries[0]
+    sliced = AudioSegment.slice_from_file(
+        e['audio_filepath'], start=e['start_time'], end=e['end_time'])
+    orig = AudioSegment.from_file(str(wavs / 'm0.wav'))
+    assert sliced.num_samples == pytest.approx(orig.num_samples, abs=2)
+
+
+def test_count_manifest_char_counts(tmp_path):
+    m = tmp_path / 'manifest'
+    m.write_text(json.dumps({'audio_filepath': 'a.wav', 'duration': 1.0,
+                             'text': '你好你'}, ensure_ascii=False) + '\n',
+                 encoding='utf-8')
+    counter = Counter()
+    count_manifest(counter, str(m))
+    assert counter['你'] == 2 and counter['好'] == 1
