@@ -260,11 +260,30 @@ class PPASRTrainer:
         except Exception as e:
             logger.error(f"checkpoint save failed: {e}")
 
-    def _load_checkpoint(self, save_model_path, state: TrainState):
-        """Auto-resume from last_model (reference trainer.py:277-299)."""
-        last = os.path.join(self._save_dir(save_model_path), 'last_model')
+    def _load_checkpoint(self, save_model_path, state: TrainState,
+                         required: bool = False):
+        """Auto-resume from last_model (reference trainer.py:277-299).
+
+        Accepts either the models ROOT (``models/`` →
+        ``models/<name>/last_model``) or a direct checkpoint dir that
+        already contains ``model.msgpack`` (``models/<name>/best_model``,
+        ``.../epoch_N`` — the reference CLI convention,
+        export_model.py:16). ``required=True`` raises instead of silently
+        returning the fresh init (evaluate/export must never run on random
+        weights)."""
+        if os.path.exists(os.path.join(save_model_path or '',
+                                       'model.msgpack')):
+            last = save_model_path
+        else:
+            last = os.path.join(self._save_dir(save_model_path),
+                                'last_model')
         model_path = os.path.join(last, 'model.msgpack')
         if not os.path.exists(model_path):
+            if required:
+                raise FileNotFoundError(
+                    f"no checkpoint found at {save_model_path!r} (looked "
+                    f"for {model_path}); pass the models root or a "
+                    f"checkpoint dir containing model.msgpack")
             return state, 0
         with open(model_path, 'rb') as f:
             params = serialization.from_bytes(state.params, f.read())
@@ -579,7 +598,8 @@ class PPASRTrainer:
             tx, _ = build_optimizer(
                 dict(self.configs.get('optimizer_conf', {}) or {}))
             state = create_train_state(params, tx)
-            state, _ = self._load_checkpoint(resume_model, state)
+            state, _ = self._load_checkpoint(resume_model, state,
+                                             required=True)
         params = state.params
 
         # eval holds no optimizer/grad memory and the on-device beam scan's
@@ -692,7 +712,7 @@ class PPASRTrainer:
             dict(self.configs.get('optimizer_conf', {}) or {}))
         state = create_train_state(params, tx)
         state, _ = self._load_checkpoint(resume_model or save_model_path,
-                                         state)
+                                         state, required=True)
         infer_dir = os.path.join(self._save_dir(save_model_path), 'infer')
         os.makedirs(infer_dir, exist_ok=True)
         # bundle CMVN stats + vocab so the artifact is self-contained

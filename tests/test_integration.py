@@ -96,6 +96,22 @@ def test_full_pipeline(workspace):
     infer_dir = trainer.export(save_model_path='models/')
     assert os.path.exists(os.path.join(infer_dir, 'inference.json'))
 
+    # export must write the CHECKPOINT's params, whether resume_model is
+    # the models root or a direct checkpoint dir (the reference CLI
+    # convention) — a silent random-init export once shipped garbage
+    with open(os.path.join(ckpt, 'model.msgpack'), 'rb') as f:
+        ckpt_bytes = f.read()
+    with open(os.path.join(infer_dir, 'model.msgpack'), 'rb') as f:
+        assert f.read() == ckpt_bytes
+    trainer.export(save_model_path='models/', resume_model=ckpt)
+    with open(os.path.join(infer_dir, 'model.msgpack'), 'rb') as f:
+        assert f.read() == ckpt_bytes
+    with pytest.raises(FileNotFoundError):
+        trainer.export(save_model_path='models/',
+                       resume_model='no/such/checkpoint')
+    with pytest.raises(FileNotFoundError):
+        trainer.evaluate(resume_model='no/such/checkpoint')
+
     from ppasr_tpu.predict import PPASRPredictor
     predictor = PPASRPredictor(configs=dict(workspace),
                                model_path=infer_dir)
