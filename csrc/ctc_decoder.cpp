@@ -39,9 +39,17 @@ inline double LogAdd(double a, double b) {
 
 // ----------------------------------------------------------------- LM
 
+// Scoring interface shared by the ARPA loader and the KenLM-binary loader.
+class LmBase {
+ public:
+  virtual ~LmBase() = default;
+  // log10 P(tok | context) with Katz backoff; tokens are ASR vocab ids.
+  virtual double Score(const std::vector<int>& context, int tok) const = 0;
+};
+
 // Char-level ARPA n-gram LM with backoff. Tokens are vocab ids; the ARPA
 // file's string tokens are mapped through the vocab list at load time.
-class NgramLM {
+class NgramLM : public LmBase {
  public:
   int order = 0;
 
@@ -98,7 +106,7 @@ class NgramLM {
 
   // log10 P(tok | context), full backoff (mirrors NgramScorer in
   // ppasr_tpu/decoders/lm.py)
-  double Score(const std::vector<int>& context, int tok) const {
+  double Score(const std::vector<int>& context, int tok) const override {
     int max_ctx = std::min<int>((int)context.size(), order - 1);
     for (int n = max_ctx + 1; n >= 1; --n) {
       std::vector<int> ng(context.end() - (n - 1), context.end());
@@ -124,6 +132,188 @@ class NgramLM {
                        ids.size() * sizeof(int));
   }
   std::vector<std::unordered_map<std::string, Entry>> tables_;
+};
+
+// KenLM probing-format binary (.klm) — the format the reference's Scorer
+// auto-downloads (ppasr/decoders/beam_search_decoder.py:10-29). Layout and
+// hashing mirror ppasr_tpu/decoders/klm.py (format version 5, PROBING):
+// Sanity header, FixedWidthParameters, counts, probing vocab
+// (murmur64a(word) -> id), unigram prob/backoff array, one open-addressing
+// table per order with KenLM's chained word hash as key.
+class KlmLM : public LmBase {
+ public:
+  int order = 0;
+
+  bool Load(const std::string& path,
+            const std::vector<std::string>& vocab) {
+    std::ifstream f(path, std::ios::binary);
+    if (!f.is_open()) return false;
+    buf_.assign(std::istreambuf_iterator<char>(f),
+                std::istreambuf_iterator<char>());
+    static const char kMagic[] =
+        "mmap lm http://kheafield.com/code format version 5\n";
+    const size_t kMagicLen = sizeof(kMagic);  // includes trailing \0
+    if (buf_.size() < 128 ||
+        std::memcmp(buf_.data(), kMagic, kMagicLen) != 0)
+      return false;
+    size_t off = 56;  // ALIGN8(magic)
+    float zero, one, half;
+    std::memcpy(&zero, buf_.data() + off, 4);
+    std::memcpy(&one, buf_.data() + off + 4, 4);
+    std::memcpy(&half, buf_.data() + off + 8, 4);
+    if (zero != 0.f || one != 1.f || half != -0.5f) return false;
+    off = 88;
+    order = (unsigned char)buf_[off];
+    std::memcpy(&multiplier_, buf_.data() + off + 4, 4);
+    int model_type;
+    std::memcpy(&model_type, buf_.data() + off + 8, 4);
+    if (model_type != 0) return false;  // PROBING only
+    off += 20;
+    counts_.resize(order);
+    std::memcpy(counts_.data(), buf_.data() + off, 8 * order);
+    off = (off + 8 * order + 7) & ~size_t(7);
+
+    std::memcpy(&bound_, buf_.data() + off + 4, 4);
+    off += 8;
+    vocab_buckets_ = Buckets(bound_ - 1);
+    vocab_off_ = off;
+    off += vocab_buckets_ * 12;
+    uni_off_ = off;
+    off += (size_t)(bound_ + 1) * 8;
+    table_off_.resize(order + 1);
+    table_buckets_.resize(order + 1);
+    for (int n = 2; n <= order; ++n) {
+      table_off_[n] = off;
+      table_buckets_[n] = Buckets(counts_[n - 1]);
+      off += table_buckets_[n] * (n == order ? 12 : 16);
+    }
+    if (off > buf_.size()) return false;
+
+    // sanity: unigram log10 probs must be finite and non-positive
+    for (uint32_t w = 1; w < bound_; ++w) {
+      float p;
+      std::memcpy(&p, buf_.data() + uni_off_ + (size_t)w * 8, 4);
+      if (!(p <= 1e-4f) || p < -50.f) return false;
+    }
+
+    wid_.resize(vocab.size());
+    for (size_t i = 0; i < vocab.size(); ++i) {
+      uint32_t w = WordId(vocab[i]);
+      wid_[i] = (w == 0) ? -1 : (int)w;  // kenlm 0 = <unk> -> ASR OOV
+    }
+    return true;
+  }
+
+  double Score(const std::vector<int>& context, int tok) const override {
+    int w = wid_[tok];
+    if (w < 0) return -6.0;
+    std::vector<int> ctx;
+    int start = std::max<int>(0, (int)context.size() - (order - 1));
+    for (size_t i = start; i < context.size(); ++i)
+      if (wid_[context[i]] >= 0) ctx.push_back(wid_[context[i]]);
+    int max_ctx = std::min<int>((int)ctx.size(), order - 1);
+    for (int n = max_ctx + 1; n >= 1; --n) {
+      std::vector<int> ng(ctx.end() - (n - 1), ctx.end());
+      ng.push_back(w);
+      float p, bo;
+      if (Lookup(ng, &p, &bo)) {
+        double logp = p;
+        for (int m = n; m <= max_ctx; ++m) {
+          std::vector<int> c(ctx.end() - m, ctx.end());
+          if (Lookup(c, &p, &bo)) logp += bo;
+        }
+        return logp;
+      }
+    }
+    return -6.0;
+  }
+
+ private:
+  size_t Buckets(uint64_t entries) const {
+    uint64_t b = (uint64_t)(multiplier_ * (float)entries);
+    return (size_t)std::max<uint64_t>(entries + 1, b);
+  }
+
+  static uint64_t Murmur64A(const void* data, size_t len) {
+    const uint64_t m = 0xC6A4A7935BD1E995ull;
+    const int r = 47;
+    uint64_t h = 0 ^ (len * m);
+    const unsigned char* p = (const unsigned char*)data;
+    const unsigned char* end = p + (len & ~size_t(7));
+    for (; p != end; p += 8) {
+      uint64_t k;
+      std::memcpy(&k, p, 8);
+      k *= m; k ^= k >> r; k *= m;
+      h ^= k; h *= m;
+    }
+    size_t rest = len & 7;
+    if (rest) {
+      uint64_t k = 0;
+      std::memcpy(&k, p, rest);
+      h ^= k; h *= m;
+    }
+    h ^= h >> r; h *= m; h ^= h >> r;
+    return h;
+  }
+
+  uint32_t WordId(const std::string& w) const {
+    uint64_t h = Murmur64A(w.data(), w.size());
+    size_t s = h % vocab_buckets_;
+    for (;;) {
+      uint64_t k;
+      std::memcpy(&k, buf_.data() + vocab_off_ + s * 12, 8);
+      if (k == h) {
+        uint32_t v;
+        std::memcpy(&v, buf_.data() + vocab_off_ + s * 12 + 8, 4);
+        return v;
+      }
+      if (k == 0) return 0;
+      s = (s + 1) % vocab_buckets_;
+    }
+  }
+
+  // (prob, backoff) of an n-gram of kenlm word ids
+  bool Lookup(const std::vector<int>& ids, float* p, float* bo) const {
+    int n = (int)ids.size();
+    if (n == 1) {
+      if ((uint32_t)ids[0] >= bound_) return false;
+      std::memcpy(p, buf_.data() + uni_off_ + (size_t)ids[0] * 8, 4);
+      std::memcpy(bo, buf_.data() + uni_off_ + (size_t)ids[0] * 8 + 4, 4);
+      return true;
+    }
+    if (n > order) return false;
+    // chained hash, newest word first
+    uint64_t h = (uint64_t)ids[n - 1];
+    for (int i = n - 2; i >= 0; --i)
+      h = h * 8978948897894561157ull + (uint64_t)ids[i];
+    if (h == 0) h = 1;
+    size_t stride = (n == order) ? 12 : 16;
+    size_t nb = table_buckets_[n];
+    size_t base = table_off_[n];
+    size_t s = (size_t)(h % nb);
+    for (;;) {
+      uint64_t k;
+      std::memcpy(&k, buf_.data() + base + s * stride, 8);
+      if (k == h) {
+        std::memcpy(p, buf_.data() + base + s * stride + 8, 4);
+        if (n < order)
+          std::memcpy(bo, buf_.data() + base + s * stride + 12, 4);
+        else
+          *bo = 0.f;
+        return true;
+      }
+      if (k == 0) return false;
+      s = (s + 1) % nb;
+    }
+  }
+
+  std::vector<char> buf_;
+  std::vector<uint64_t> counts_;
+  std::vector<size_t> table_off_, table_buckets_;
+  std::vector<int> wid_;
+  float multiplier_ = 1.5f;
+  uint32_t bound_ = 0;
+  size_t vocab_off_ = 0, vocab_buckets_ = 0, uni_off_ = 0;
 };
 
 // ------------------------------------------------------- beam search core
@@ -155,7 +345,7 @@ struct DecoderConfig {
   double cutoff_prob = 0.99;
   double alpha = 2.2;
   double beta = 4.3;
-  const NgramLM* lm = nullptr;
+  const LmBase* lm = nullptr;
 };
 
 void BeamStep(Beams& beams, const float* row, const DecoderConfig& cfg) {
@@ -239,7 +429,7 @@ void BestBeam(const Beams& beams, std::vector<int>* tokens, double* score) {
 
 struct Decoder {
   DecoderConfig cfg;
-  NgramLM lm_storage;
+  std::unique_ptr<LmBase> lm_storage;
   // streaming state: one beam set per stream
   std::vector<Beams> streams;
 };
@@ -265,15 +455,25 @@ void* ctc_decoder_create(int vocab_size, int blank, int beam_size,
 }
 
 // vocab passed as \n-joined utf-8 token list (for ARPA token mapping)
-int ctc_decoder_load_lm(void* handle, const char* arpa_path,
+int ctc_decoder_load_lm(void* handle, const char* lm_path,
                         const char* vocab_joined) {
   auto* d = static_cast<Decoder*>(handle);
   std::vector<std::string> vocab;
   std::istringstream ss(vocab_joined);
   std::string tok;
   while (std::getline(ss, tok, '\n')) vocab.push_back(tok);
-  if (!d->lm_storage.Load(arpa_path, vocab)) return -1;
-  d->cfg.lm = &d->lm_storage;
+  std::string path(lm_path);
+  // route by extension: .klm -> KenLM probing binary, else ARPA text
+  if (path.size() > 4 && path.compare(path.size() - 4, 4, ".klm") == 0) {
+    auto klm = std::make_unique<KlmLM>();
+    if (!klm->Load(path, vocab)) return -1;
+    d->lm_storage = std::move(klm);
+  } else {
+    auto arpa = std::make_unique<NgramLM>();
+    if (!arpa->Load(path, vocab)) return -1;
+    d->lm_storage = std::move(arpa);
+  }
+  d->cfg.lm = d->lm_storage.get();
   return 0;
 }
 

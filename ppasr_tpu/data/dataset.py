@@ -58,6 +58,7 @@ class ASRDataset:
                            if mean_istd_filepath else None)
         self.augmentation = AugmentationPipeline(augmentation_config) \
             if (train and augmentation_config) else None
+        self._feature_pools = {}
 
     def __len__(self):
         if self.dataset_reader is not None:
@@ -78,9 +79,16 @@ class ASRDataset:
         path = instance['audio_filepath']
         if path.endswith('.npy'):
             # precomputed pooled feature file with frame-slice bounds
-            # (reference reader.py:52-60 / trainer extract_features)
-            feature = np.load(path)[instance['start_frame']:
-                                    instance['end_frame'], :]
+            # (reference reader.py:52-60 / trainer extract_features).
+            # Pooled files are ~20 MB; np.load per item would re-read the
+            # whole pool for a ~100 KB slice, so keep a read-only mmap per
+            # path (shared safely across loader threads) and copy the slice.
+            pool = self._feature_pools.get(path)
+            if pool is None:
+                pool = np.load(path, mmap_mode='r')
+                self._feature_pools[path] = pool
+            feature = np.array(pool[instance['start_frame']:
+                                    instance['end_frame'], :])
         else:
             if 'start_time' in instance:
                 audio = AudioSegment.slice_from_file(

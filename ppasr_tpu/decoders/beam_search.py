@@ -123,8 +123,8 @@ class BeamSearchDecoder:
         if language_model_path:
             import os
             if os.path.exists(language_model_path):
-                from ppasr_tpu.decoders.lm import NgramScorer
-                self.scorer = NgramScorer(language_model_path,
+                from ppasr_tpu.decoders.lm import load_scorer
+                self.scorer = load_scorer(language_model_path,
                                           self.vocab_list)
             else:
                 import logging

@@ -759,6 +759,15 @@ class JaxBeamSearchDecoder:
     def _load_lm(self, path):
         from ppasr_tpu.decoders.lm import NgramScorer
 
+        if path.endswith('.klm'):
+            # A .klm stores n-grams only as 64-bit hashes, so the vocab-id
+            # tables on-device fusion needs cannot be enumerated from it.
+            # The host decoders (backend='host', csrc) load .klm natively.
+            raise ValueError(
+                "on-device LM fusion needs an ARPA model; .klm binaries "
+                "are supported by the host beam-search backend "
+                "(ctc_beam_search_decoder_conf.backend: 'host')")
+
         def peek_order(p):
             import gzip
             opener = gzip.open if p.endswith('.gz') else open

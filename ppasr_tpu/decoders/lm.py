@@ -16,6 +16,18 @@ import math
 import numpy as np
 
 
+def load_scorer(language_model_path: str, vocab_list):
+    """LM factory: `.klm` (KenLM probing binary — the format the reference
+    auto-downloads, beam_search_decoder.py:10-25) → :class:`KlmScorer`;
+    anything else is parsed as ARPA (text or gzip) → :class:`NgramScorer`.
+    Both expose ``score(prefix_ids, new_id) -> log10`` with identical
+    backoff semantics."""
+    if language_model_path.endswith('.klm'):
+        from ppasr_tpu.decoders.klm import KlmScorer
+        return KlmScorer(language_model_path, vocab_list)
+    return NgramScorer(language_model_path, vocab_list)
+
+
 class NgramScorer:
     def __init__(self, arpa_path: str, vocab_list):
         self.vocab_list = list(vocab_list)

@@ -91,13 +91,15 @@ class NativeBeamSearchDecoder:
         self._handle = self._lib.ctc_decoder_create(
             len(vocab_list), blank_index, beam_size, cutoff_top_n,
             cutoff_prob, alpha, beta)
+        self._lm_loaded = False
         if language_model_path and os.path.exists(language_model_path):
             joined = '\n'.join(self.vocab_list).encode('utf-8')
             rc = self._lib.ctc_decoder_load_lm(
                 self._handle, language_model_path.encode('utf-8'), joined)
             if rc != 0:
-                logger.warning(f"failed to load ARPA LM "
+                logger.warning(f"failed to load LM (ARPA/.klm) "
                                f"{language_model_path}; decoding LM-free")
+            self._lm_loaded = rc == 0
         self.reset()
 
     def __del__(self):

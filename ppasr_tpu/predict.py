@@ -240,6 +240,15 @@ class PPASRPredictor:
         if self.decoder_name == 'ctc_beam_search':
             conf = dict(self.decoder_configs)
             backend = conf.pop('backend', 'jax')
+            lm = conf.get('language_model_path')
+            if backend == 'jax' and lm and str(lm).endswith('.klm') \
+                    and os.path.exists(lm):
+                # .klm n-grams are stored as hashes — not enumerable into
+                # the on-device tables; the native C++ backend loads the
+                # binary directly (reference parity path)
+                logger.info(".klm language model: using the native host "
+                            "beam-search backend")
+                backend = 'native'
             try:
                 if backend == 'host':
                     from ppasr_tpu.decoders.beam_search import \

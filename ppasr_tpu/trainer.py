@@ -566,6 +566,14 @@ class PPASRTrainer:
         conf = dict(self.configs.get('ctc_beam_search_decoder_conf', {})
                     or {})
         backend = conf.pop('backend', 'jax')
+        lm = conf.get('language_model_path')
+        if backend == 'jax' and lm and str(lm).endswith('.klm') \
+                and os.path.exists(lm):
+            # .klm n-grams are hash-keyed — not enumerable into the
+            # on-device tables; the native C++ backend parses the binary
+            logger.info(".klm language model: using the native host "
+                        "beam-search backend")
+            backend = 'native'
         try:
             if backend == 'host':
                 from ppasr_tpu.decoders.beam_search import BeamSearchDecoder
