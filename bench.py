@@ -152,6 +152,83 @@ def bench_train_step(model, params, iters=5, bsz=32, frames=1000):
     return bsz * (frames / 100.0) * iters / (time.perf_counter() - start)
 
 
+def load_trained_flagship():
+    """(model, params, vocab_list) from the real trained checkpoint when one
+    exists (models/conformer_streaming_fbank/best_model) so the end-to-end
+    numbers reflect a converged model — trained posteriors are blank-peaky
+    and engage frame compaction, untrained ones do not. Returns None when
+    no checkpoint/corpus is present (fresh clone)."""
+    import flax.serialization as serialization
+    from ppasr_tpu.models.factory import build_model
+    ckpt = None
+    for name in ('best_model', 'last_model'):
+        p = os.path.join('models', 'conformer_streaming_fbank', name,
+                         'model.msgpack')
+        if os.path.exists(p):
+            ckpt = p
+            break
+    vocab_path = os.path.join('dataset', 'vocabulary.txt')
+    if ckpt is None or not os.path.exists(vocab_path):
+        return None
+    vocab = [line.rstrip('\n').split('\t')[0]
+             for line in open(vocab_path, encoding='utf-8') if line.strip()]
+    from ppasr_tpu.config import load_config
+    cfg = load_config('configs/conformer.yml')
+    model = build_model(
+        'conformer', 80, len(vocab), streaming=True,
+        encoder_conf=dict(cfg.encoder_conf),
+        decoder_conf=dict(cfg.decoder_conf),
+        model_conf=dict(cfg.model_conf), dtype=jnp.bfloat16)
+    speech0 = jnp.zeros((1, 128, 80), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {'params': rng, 'dropout': rng, 'chunk': rng},
+        speech0, jnp.asarray([128]),
+        jnp.asarray([[1, 2, -1]], jnp.int32), jnp.asarray([2]),
+        deterministic=False)
+    with open(ckpt, 'rb') as f:
+        params = serialization.from_bytes(jax.device_get(params), f.read())
+    return model, jax.device_put(params), vocab
+
+
+def bench_reader(duration_s=8.0):
+    """Host input pipeline on the real corpus: manifest → (augment) →
+    features → CMVN → collate, in audio-s/s. Two paths: raw wav with the
+    full augmentation pipeline, and pre-extracted feature manifests (the
+    production path that feeds the chip — reference extract_features
+    parity). Skipped silently when no corpus exists."""
+    import time as _t
+    if not os.path.exists('dataset/manifest.train'):
+        return None
+    from ppasr_tpu.config import load_config, load_augmentation_config
+    from ppasr_tpu.data.dataset import ASRDataset
+    from ppasr_tpu.data.sampler import SortagradBatchSampler
+    from ppasr_tpu.data.loader import DataLoader
+    cfg = load_config('configs/conformer.yml')
+    aug = load_augmentation_config('configs/augmentation.json')
+    out = {}
+    paths = [('raw_wav_augment', 'dataset/manifest.train')]
+    if os.path.exists('dataset/manifest_features.train'):
+        paths.append(('features_precomputed',
+                      'dataset/manifest_features.train'))
+    for name, manifest in paths:
+        ds = ASRDataset(manifest, 'dataset/vocabulary.txt',
+                        mean_istd_filepath='dataset/mean_istd.json',
+                        preprocess_conf=dict(cfg.preprocess_conf),
+                        augmentation_config=aug, train=True)
+        sampler = SortagradBatchSampler(len(ds), batch_size=32,
+                                        sortagrad=False, shuffle=True)
+        loader = DataLoader(ds, sampler, num_workers=4, prefetch_factor=2)
+        start = _t.perf_counter()
+        audio_s = 0.0
+        for _, _, in_lens, _ in loader:
+            audio_s += float(np.sum(in_lens)) / 100.0
+            if _t.perf_counter() - start > duration_s:
+                break
+        out[name] = audio_s / (_t.perf_counter() - start)
+    return out
+
+
 def bench_eval_pipeline(model, params, iters=5, bsz=64, frames=1000,
                         vocab=4096):
     """Full eval pipeline: features → encoder → on-device beam search →
@@ -180,6 +257,42 @@ def bench_eval_pipeline(model, params, iters=5, bsz=64, frames=1000,
         texts = run()
     elapsed = time.perf_counter() - start
     return bsz * (frames / 100.0) * iters / elapsed
+
+
+def bench_eval_pipeline_trained(trained, iters=5, bsz=64):
+    """bench_eval_pipeline on the REAL trained model over REAL test
+    utterances: trained CTC posteriors are blank-peaky, so the decoder's
+    frame compaction engages as it does in production eval."""
+    from ppasr_tpu.config import load_config
+    from ppasr_tpu.data.dataset import ASRDataset, collate_fn
+    from ppasr_tpu.decoders.beam_search_jax import JaxBeamSearchDecoder
+    model, params, vocab = trained
+    cfg = load_config('configs/conformer.yml')
+    manifest = 'dataset/manifest_features.test' \
+        if os.path.exists('dataset/manifest_features.test') \
+        else 'dataset/manifest.test'
+    ds = ASRDataset(manifest, 'dataset/vocabulary.txt',
+                    mean_istd_filepath='dataset/mean_istd.json',
+                    preprocess_conf=dict(cfg.preprocess_conf))
+    items = [ds[i] for i in range(min(bsz, len(ds)))]
+    inputs, _, in_lens, _ = collate_fn(items, time_bucket=64,
+                                       label_bucket=16, shuffle=False)
+    speech = jnp.asarray(inputs)
+    lens = jnp.asarray(in_lens.astype(np.int32))
+    fwd = jax.jit(lambda p, s, l: model.apply(
+        p, s, l, method='get_encoder_logits'))
+    dec = JaxBeamSearchDecoder(vocab, beam_size=10)
+
+    def run():
+        logits, olens = fwd(params, speech, lens)
+        return dec.decode_batch_from_logits(logits, np.asarray(olens))
+    run()  # compile
+    start = time.perf_counter()
+    for _ in range(iters):
+        run()
+    elapsed = time.perf_counter() - start
+    audio_s = float(np.sum(in_lens)) / 100.0
+    return audio_s * iters / elapsed
 
 
 def bench_beam_decode(iters=5, bsz=16, frames=250, vocab=4096):
@@ -226,6 +339,55 @@ def main():
         "unit": "audio-seconds/s/chip (64 concurrent streams, bf16)",
         "vs_baseline": round(stream_cap / BASELINE_AUDIO_S_PER_S, 3)}),
         file=sys.stderr)
+    # honest end-to-end metrics, in the default run every round
+    # (train step + full eval pipeline; VERDICT r1 item 8)
+    train_tp = bench_train_step(model, params)
+    print(json.dumps({
+        "metric": "train_step_throughput",
+        "value": round(train_tp, 2),
+        "unit": "audio-seconds/s/chip (fwd+bwd+adamw, B=32x10s)",
+        "vs_baseline": None}), file=sys.stderr)
+    trained = None
+    try:
+        trained = load_trained_flagship()
+    except Exception as e:
+        print(f"trained-checkpoint bench unavailable: {e}", file=sys.stderr)
+    if trained is not None:
+        eval_tp = bench_eval_pipeline_trained(trained)
+        print(json.dumps({
+            "metric": "eval_pipeline_throughput_trained",
+            "value": round(eval_tp, 2),
+            "unit": "audio-seconds/s/chip (trained ckpt, real test "
+                    "utterances, encode+beam+texts, B=64)",
+            "vs_baseline": round(eval_tp / BASELINE_AUDIO_S_PER_S, 3)}),
+            file=sys.stderr)
+        state_path = os.path.join('models', 'conformer_streaming_fbank',
+                                  'best_model', 'model.state')
+        if os.path.exists(state_path):
+            meta = json.load(open(state_path, encoding='utf-8'))
+            if meta.get('test_cer') is not None:
+                print(json.dumps({
+                    "metric": "cer_synth_heldout",
+                    "value": meta['test_cer'],
+                    "unit": "CER on disjoint synthetic test sentences "
+                            "(greedy; see STATUS.md accuracy section)",
+                    "vs_baseline": None}), file=sys.stderr)
+    else:
+        eval_tp = bench_eval_pipeline(model, params)
+        print(json.dumps({
+            "metric": "eval_pipeline_throughput",
+            "value": round(eval_tp, 2),
+            "unit": "audio-seconds/s/chip (untrained params — conservative "
+                    "floor; encode+beam decode+texts, B=64x10s)",
+            "vs_baseline": round(eval_tp / BASELINE_AUDIO_S_PER_S, 3)}),
+            file=sys.stderr)
+    reader = bench_reader()
+    if reader:
+        print(json.dumps({
+            "metric": "reader_throughput",
+            "value": {k: round(v, 0) for k, v in reader.items()},
+            "unit": "audio-seconds/s host input pipeline (2-CPU host)",
+            "vs_baseline": None}), file=sys.stderr)
     if os.environ.get('BENCH_FULL'):
         # heavy extras (compile time through the device tunnel is minutes)
         fe = bench_frontend()
@@ -234,26 +396,12 @@ def main():
             "value": {k: round(v, 0) for k, v in fe.items()},
             "unit": "audio-seconds/s/chip", "vs_baseline": None}),
             file=sys.stderr)
-        train_tp = bench_train_step(model, params)
-        print(json.dumps({
-            "metric": "train_step_throughput",
-            "value": round(train_tp, 2),
-            "unit": "audio-seconds/s/chip (fwd+bwd+adamw, B=32x10s)",
-            "vs_baseline": None}), file=sys.stderr)
         beam_tp = bench_beam_decode()
         print(json.dumps({
             "metric": "beam_decode_throughput",
             "value": round(beam_tp, 2),
             "unit": "audio-seconds/s/chip (on-device, B=16 beam=10 V=4096)",
             "vs_baseline": None}), file=sys.stderr)
-        eval_tp = bench_eval_pipeline(model, params)
-        print(json.dumps({
-            "metric": "eval_pipeline_throughput",
-            "value": round(eval_tp, 2),
-            "unit": "audio-seconds/s/chip (encode+beam decode+texts, "
-                    "B=64x10s)",
-            "vs_baseline": round(eval_tp / BASELINE_AUDIO_S_PER_S, 3)}),
-            file=sys.stderr)
     print(json.dumps({
         "metric": "streaming_chunk_latency_b16", "value": round(lat_ms, 2),
         "unit": "ms/chunk-step (16 streams, 0.64s chunks)",

@@ -125,20 +125,32 @@ def _round_up(x: int, multiple: int) -> int:
 
 
 def collate_fn(batch, time_bucket: int = 1, label_bucket: int = 1,
-               shuffle: bool = True):
+               shuffle: bool = True, pad_to=None):
     """List of (feature [T, D], tokens [U]) → padded arrays.
 
     Returns (inputs [B, Tmax, D] f32, labels [B, Umax] i32 pad −1,
     input_lens [B] i64, label_lens [B] i64) — the reference collate contract
     (collate_fn.py:7-41). ``time_bucket``/``label_bucket`` round the padded
-    axes up to a multiple for shape stability under jit."""
+    axes up to a multiple for shape stability under jit.
+
+    ``pad_to=(frames, labels)`` raises the pad targets to at least these
+    values: multi-process DP ranks must agree on the GLOBAL batch shape
+    fed to make_array_from_process_local_data, so every rank pads to a
+    hint computed from the global batch's manifest metadata; it also
+    implements dataset_conf.pad_to_max (one static shape → one jit
+    compile)."""
     if shuffle:
         batch = list(batch)
         random.shuffle(batch)
     bsz = len(batch)
     dim = batch[0][0].shape[1]
-    max_t = _round_up(max(f.shape[0] for f, _ in batch), time_bucket)
-    max_u = _round_up(max(max(len(t) for _, t in batch), 1), label_bucket)
+    max_t = max(f.shape[0] for f, _ in batch)
+    max_u = max(max(len(t) for _, t in batch), 1)
+    if pad_to is not None:
+        max_t = max(max_t, int(pad_to[0]))
+        max_u = max(max_u, int(pad_to[1]))
+    max_t = _round_up(max_t, time_bucket)
+    max_u = _round_up(max_u, label_bucket)
 
     inputs = np.zeros((bsz, max_t, dim), np.float32)
     labels = np.full((bsz, max_u), -1, np.int32)

@@ -15,7 +15,12 @@ from ppasr_tpu.data.dataset import collate_fn
 class DataLoader:
     def __init__(self, dataset, batch_sampler, num_workers: int = 4,
                  prefetch_factor: int = 2, time_bucket: int = 16,
-                 label_bucket: int = 8, shuffle_in_batch: bool = True):
+                 label_bucket: int = 8, shuffle_in_batch: bool = True,
+                 pad_to=None):
+        """``pad_to=(frames, labels)``: constant minimum pad target
+        (dataset_conf.pad_to_max). Samplers may instead yield
+        ``(indices, (pad_t, pad_u))`` tuples for per-batch targets —
+        multi-process DP ranks use that to agree on global batch shapes."""
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.num_workers = max(1, num_workers)
@@ -23,14 +28,21 @@ class DataLoader:
         self.time_bucket = time_bucket
         self.label_bucket = label_bucket
         self.shuffle_in_batch = shuffle_in_batch
+        self.pad_to = pad_to
 
     def __len__(self):
         return len(self.batch_sampler)
 
     def _load_batch(self, indices):
+        pad_to = self.pad_to
+        if isinstance(indices, tuple):
+            indices, pad_to = indices
+            if self.pad_to is not None:
+                pad_to = (max(pad_to[0], self.pad_to[0]),
+                          max(pad_to[1], self.pad_to[1]))
         items = [self.dataset[i] for i in indices]
         return collate_fn(items, self.time_bucket, self.label_bucket,
-                          shuffle=self.shuffle_in_batch)
+                          shuffle=self.shuffle_in_batch, pad_to=pad_to)
 
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch * self.num_workers)

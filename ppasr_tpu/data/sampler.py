@@ -68,11 +68,19 @@ class SortagradDistributedBatchSampler(SortagradBatchSampler):
     def __init__(self, dataset_size: int, batch_size: int,
                  num_replicas: int = 1, rank: int = 0,
                  drop_last: bool = True, sortagrad: bool = True,
-                 shuffle: bool = True):
+                 shuffle: bool = True, pad_hint_fn=None):
+        """``pad_hint_fn(global_indices) -> (pad_frames, pad_labels)``: when
+        set, each yielded batch is ``(local_indices, hint)`` where the hint
+        is computed over the whole cross-rank batch. The sampler order is
+        identical on every rank, so all ranks derive the SAME padded shape —
+        required for jax.make_array_from_process_local_data (each process
+        contributes a local shard of one global array; mismatched local pad
+        widths would disagree on the global shape)."""
         super().__init__(dataset_size, batch_size, drop_last, sortagrad,
                          shuffle)
         self.num_replicas = num_replicas
         self.rank = rank
+        self.pad_hint_fn = pad_hint_fn
 
     def __iter__(self):
         indices = list(range(self.dataset_size))
@@ -85,18 +93,14 @@ class SortagradDistributedBatchSampler(SortagradBatchSampler):
         # per-rank slice: rank r takes batches r, r+nranks, ... (reference :89-105)
         world_batch = self.batch_size * self.num_replicas
         usable = (len(indices) // world_batch) * world_batch
-        my_indices = []
         for start in range(0, usable, world_batch):
-            lo = start + self.rank * self.batch_size
-            my_indices.extend(indices[lo:lo + self.batch_size])
-        batch = []
-        for idx in my_indices:
-            batch.append(idx)
-            if len(batch) == self.batch_size:
-                yield batch
-                batch = []
-        if batch and not self.drop_last:
-            yield batch
+            global_batch = indices[start:start + world_batch]
+            lo = self.rank * self.batch_size
+            local = global_batch[lo:lo + self.batch_size]
+            if self.pad_hint_fn is not None:
+                yield local, self.pad_hint_fn(global_batch)
+            else:
+                yield local
 
     def __len__(self):
         world_batch = self.batch_size * self.num_replicas

@@ -371,17 +371,47 @@ class PPASRTrainer:
         import math
         n_data = math.gcd(batch_size, len(jax.devices()))
         mesh = data_mesh(jax.devices()[:max(n_data, 1)])
+
+        # pad targets from manifest metadata (identical on every rank):
+        # - pad_to_max: one static shape for the whole run — a single jit
+        #   compile instead of one per (T, U) bucket (compiles through the
+        #   device tunnel cost minutes; the padding waste is bounded by the
+        #   duration filter)
+        # - multi-process DP: ranks must agree on the GLOBAL batch shape
+        #   for make_array_from_process_local_data, so the distributed
+        #   sampler attaches a per-batch hint over the cross-rank batch
+        pad_margin = 1.12 if train_dataset.augmentation is not None else 1.0
+
+        def entry_pad(i):
+            e = train_dataset.entry(i)
+            frames = int(math.ceil(
+                float(e.get('duration', 0.0)) * 100.0 * pad_margin)) + 4
+            return frames, max(len(str(e.get('text', ''))), 1)
+
+        const_pad = None
+        if dataset_conf.get('pad_to_max'):
+            pads = [entry_pad(i) for i in range(len(train_dataset))]
+            const_pad = (max(p[0] for p in pads), max(p[1] for p in pads))
+            logger.info(f"pad_to_max: all batches pad to frames/labels "
+                        f"{const_pad}")
+
+        def pad_hint_fn(global_indices):
+            pads = [entry_pad(i) for i in global_indices]
+            return (max(p[0] for p in pads), max(p[1] for p in pads))
+
         if nprocs > 1:
             sampler = SortagradDistributedBatchSampler(
                 len(train_dataset), batch_size * accum_grad,
-                num_replicas=nprocs, rank=rank, drop_last=True)
+                num_replicas=nprocs, rank=rank, drop_last=True,
+                pad_hint_fn=None if const_pad else pad_hint_fn)
         else:
             sampler = SortagradBatchSampler(
                 len(train_dataset), batch_size * accum_grad, drop_last=True)
         loader = DataLoader(train_dataset, sampler,
                             num_workers=int(dataset_conf.get('num_workers',
                                                              4)),
-                            time_bucket=64, label_bucket=16)
+                            time_bucket=64, label_bucket=16,
+                            pad_to=const_pad)
 
         model = self._build_model(input_dim, vocab_size)
         params = self._init_params(model, input_dim)
@@ -618,8 +648,16 @@ class PPASRTrainer:
             'eval_batch_size', 4 * int(dataset_conf.get('batch_size', 16))))
         sampler = SortagradBatchSampler(len(test_dataset), batch_size,
                                         drop_last=False, shuffle=False)
+        pad_to = None
+        if dataset_conf.get('pad_to_max'):
+            import math as _m
+            pads = [(int(_m.ceil(float(test_dataset.entry(i).get(
+                'duration', 0.0)) * 100.0)) + 4,
+                max(len(str(test_dataset.entry(i).get('text', ''))), 1))
+                for i in range(len(test_dataset))]
+            pad_to = (max(p[0] for p in pads), max(p[1] for p in pads))
         loader = DataLoader(test_dataset, sampler, num_workers=2,
-                            shuffle_in_batch=False)
+                            shuffle_in_batch=False, pad_to=pad_to)
 
         # cache the jitted eval programs on the trainer: evaluate() runs
         # once per epoch and fresh lambdas would force a full retrace each

@@ -1,7 +1,13 @@
 """Train a model (CLI façade over PPASRTrainer, parity with reference
 train.py)."""
 import argparse
+import faulthandler
 import functools
+import signal
+
+# kill -USR1 <pid> dumps all thread stacks to stderr — long runs through
+# the device tunnel occasionally wedge and this is the only introspection
+faulthandler.register(signal.SIGUSR1)
 
 from ppasr_tpu.trainer import PPASRTrainer
 from ppasr_tpu.utils.common import add_arguments, print_arguments
