@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ppasr_tpu.models.base import Dropout, kaiming_uniform
+from ppasr_tpu.parallel.mesh import shard_activation
 
 
 def _neg_inf(dtype):
@@ -89,9 +90,14 @@ class MultiHeadedAttention(nn.Module):
             query = scale * query + bias
             key = scale * key + bias
             value = scale * value + bias
-        q = self._heads(query, self.linear_q)   # [B, T1, H, dk]
-        k = self._heads(key, self.linear_k)     # [B, T2, H, dk]
-        v = self._heads(value, self.linear_v)
+        # per-head tensors sharded over 'model' (heads) under TP — pins the
+        # Megatron layout so scores/attn stay shard-local until linear_out
+        q = shard_activation(self._heads(query, self.linear_q),
+                             'data', None, 'model')  # [B, T1, H, dk]
+        k = shard_activation(self._heads(key, self.linear_k),
+                             'data', None, 'model')  # [B, T2, H, dk]
+        v = shard_activation(self._heads(value, self.linear_v),
+                             'data', None, 'model')
 
         if kv_cache is not None:
             k_cache, v_cache = kv_cache

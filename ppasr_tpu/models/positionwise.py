@@ -4,6 +4,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ppasr_tpu.models.base import Dropout, kaiming_uniform, symmetric_uniform
+from ppasr_tpu.parallel.mesh import shard_activation
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -36,6 +37,7 @@ class PositionwiseFeedForward(nn.Module):
             w1 = w2 = dict(kernel_init=kaiming_uniform)
         x = nn.Dense(self.hidden_units, dtype=self.dtype, name='w_1',
                      **w1)(x)
-        x = self.activation(x)
+        # FFN hidden sharded over 'model' under TP (column→row pairing)
+        x = shard_activation(self.activation(x), 'data', None, 'model')
         x = Dropout(self.dropout_rate, deterministic=deterministic)(x)
         return nn.Dense(self.idim, dtype=self.dtype, name='w_2', **w2)(x)

@@ -24,7 +24,7 @@ DIM = 20
 def _tiny_model(streaming=True):
     return build_model(
         'conformer', DIM, VOCAB, streaming=streaming,
-        encoder_conf=dict(output_size=32, attention_heads=2,
+        encoder_conf=dict(output_size=32, attention_heads=4,
                           linear_units=64, num_blocks=2,
                           cnn_module_kernel=7, dropout_rate=0.0,
                           positional_dropout_rate=0.0,
@@ -67,7 +67,13 @@ def _max_param_diff(a, b):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
-def test_dp_tp_step_matches_single_device():
+@pytest.mark.parametrize('n_data,n_model', [(4, 2), (2, 4)])
+def test_dp_tp_step_matches_single_device(n_data, n_model):
+    """DP4×TP2 and DP2×TP4 (wide TP: 4 heads sharded one-per-device, full
+    Megatron column/row pairing + activation constraints) must match the
+    single-device step."""
+    from ppasr_tpu.parallel.mesh import set_activation_mesh
+
     model = _tiny_model()
     batch = _batch(accum=1, bsz=4)
     params = _init(model, batch)
@@ -83,20 +89,27 @@ def test_dp_tp_step_matches_single_device():
     step = jax.jit(make_train_step(model, tx, accum_grad=1))
     ref_state, ref_metrics = step(state0, batch, rng)
 
-    # DP=4 × TP=2 mesh: shard params + batch, same step function
-    mesh = make_mesh(n_data=4, n_model=2)
-    p_shard = param_shardings(mesh, params, tp=True)
-    sharded_params = jax.device_put(params, p_shard)
-    sh_state = TrainState(step=jnp.zeros((), jnp.int32),
-                          params=sharded_params,
-                          opt_state=tx.init(sharded_params))
-    sh_batch = jax.device_put(batch, batch_shardings(mesh, batch,
-                                                     batch_axis=1))
-    sh_new, sh_metrics = step(sh_state, sh_batch, rng)
+    # DP × TP mesh: shard params + batch, same step function (fresh jit so
+    # the activation constraints trace against the armed mesh)
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    set_activation_mesh(mesh)
+    try:
+        step = jax.jit(make_train_step(model, tx, accum_grad=1))
+        p_shard = param_shardings(mesh, params, tp=True)
+        sharded_params = jax.device_put(params, p_shard)
+        sh_state = TrainState(step=jnp.zeros((), jnp.int32),
+                              params=sharded_params,
+                              opt_state=tx.init(sharded_params))
+        sh_batch = jax.device_put(batch, batch_shardings(batch_axis=1,
+                                                         mesh=mesh,
+                                                         batch=batch))
+        sh_new, sh_metrics = step(sh_state, sh_batch, rng)
 
-    assert abs(float(ref_metrics['loss'])
-               - float(sh_metrics['loss'])) < 1e-4
-    assert _max_param_diff(ref_state.params, sh_new.params) < 1e-4
+        assert abs(float(ref_metrics['loss'])
+                   - float(sh_metrics['loss'])) < 1e-4
+        assert _max_param_diff(ref_state.params, sh_new.params) < 1e-4
+    finally:
+        set_activation_mesh(None)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
