@@ -79,54 +79,42 @@ def _next_pow2(x: int) -> int:
 class HashLM:
     """Device-resident n-gram LM for orders >= 3 (see lm.build_hash_tables).
 
-    fps/logps/backoffs are per-order tuples (n = 2..order); tuple length is
-    static under jit, so the backoff chain unrolls at trace time. ``probes``
-    (per-order max probe distance recorded at build time) rides as static
-    pytree aux data — the lookup only gathers that many slots per query."""
+    ds/fps/logps/backoffs are per-order tuples (n = 2..order); tuple length
+    is static under jit, so the backoff chain unrolls at trace time. Tables
+    are CHD perfect-hash: ``ds`` holds the per-bucket displacements, so a
+    lookup inspects EXACTLY one slot (2 element gathers: displacement +
+    fingerprint/value) — the previous open-addressing scheme linearly probed
+    up to 8 slots and those gathers dominated LM-fused decode time."""
 
-    def __init__(self, uni_logp, uni_found, uni_backoff, fps, logps,
-                 backoffs, probes):
+    def __init__(self, uni_logp, uni_found, uni_backoff, ds, fps, logps,
+                 backoffs):
         self.uni_logp = uni_logp      # [V] f32 log10 (-6.0 when absent)
         self.uni_found = uni_found    # [V] bool
         self.uni_backoff = uni_backoff  # [V] f32 log10
+        self.ds = tuple(ds)           # n=2..order: uint32 [B_n]
         self.fps = tuple(fps)         # n=2..order: uint32 [M_n], 0 = empty
         self.logps = tuple(logps)     # f32 [M_n]
         self.backoffs = tuple(backoffs)  # f32 [M_n]
-        self.probes = tuple(probes)   # static ints, n=2..order
 
     def tree_flatten(self):
         return ((self.uni_logp, self.uni_found, self.uni_backoff,
-                 self.fps, self.logps, self.backoffs), self.probes)
+                 self.ds, self.fps, self.logps, self.backoffs), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, probes=aux)
-
-
-def _pad_wrap(a, pad):
-    """Append the first ``pad`` slots so an aligned window gather starting
-    anywhere in [0, M) sees the same slots as modular linear probing."""
-    return jnp.concatenate([jnp.asarray(a), jnp.asarray(a[:pad])])
+        return cls(*children)
 
 
 def hash_lm_from_tables(t) -> HashLM:
-    """lm.build_hash_tables output dict → device HashLM.
-
-    Tables are padded with a wrap margin: the device lookup fetches each
-    probe window as ONE contiguous slice gather (probes× fewer gather
-    descriptors than per-slot random access)."""
-    probes = [int(p) for p in t['probes']]
+    """lm.build_hash_tables output dict → device HashLM."""
     return HashLM(
         uni_logp=jnp.asarray(t['uni_logp']),
         uni_found=jnp.asarray(t['uni_found']),
         uni_backoff=jnp.asarray(t['uni_backoff']),
-        fps=tuple(_pad_wrap(fp, p - 1)
-                  for (fp, _, _), p in zip(t['tables'], probes)),
-        logps=tuple(_pad_wrap(lp, p - 1)
-                    for (_, lp, _), p in zip(t['tables'], probes)),
-        backoffs=tuple(_pad_wrap(bk, p - 1)
-                       for (_, _, bk), p in zip(t['tables'], probes)),
-        probes=tuple(probes))
+        ds=tuple(jnp.asarray(d) for (d, _, _, _) in t['tables']),
+        fps=tuple(jnp.asarray(fp) for (_, fp, _, _) in t['tables']),
+        logps=tuple(jnp.asarray(lp) for (_, _, lp, _) in t['tables']),
+        backoffs=tuple(jnp.asarray(bk) for (_, _, _, bk) in t['tables']))
 
 
 def _fmix32_dev(h):
@@ -157,23 +145,18 @@ def _hash_fold(tokens):
     return _fmix32_dev(h1), _fmix32_dev(h2)
 
 
-def _hash_lookup(fp_table, val_table, h1, h2, probes: int):
-    """Linear-probe lookup. Returns (found bool, value); the value is read
-    at the matched slot (meaningful only where found).
-
-    The probe window is addressed as base+p on the wrap-padded table (no
-    per-probe modulo). NOTE a contiguous slice-gather (lax.gather with
-    slice_sizes=(probes,)) was measured 20× SLOWER than per-slot element
-    gathers on TPU v5e — XLA lowers multi-element slices per index through
-    a serialized DMA path; keep element gathers."""
-    m = fp_table.shape[0] - (probes - 1)
-    base = (h1 & jnp.uint32(m - 1)).astype(jnp.int32)     # [...]
-    idx = base[..., None] + jnp.arange(probes, dtype=jnp.int32)
-    match = fp_table[idx] == (h2 | jnp.uint32(1))[..., None]  # [..., P]
-    found = jnp.any(match, axis=-1)
-    slot = jnp.argmax(match, axis=-1)
-    flat = jnp.take_along_axis(idx, slot[..., None], axis=-1)[..., 0]
-    return found, val_table[flat]
+def _hash_lookup(d_table, fp_table, val_table, h1, h2):
+    """CHD perfect-hash lookup: bucket displacement (1 gather) → exactly
+    one slot (2 gathers: fingerprint + value). Returns (found bool, value);
+    the value is meaningful only where found. All gathers are ELEMENT
+    gathers — a contiguous slice-gather was measured 20× slower on v5e
+    (XLA serializes multi-element slices per index)."""
+    b = (h1 & jnp.uint32(d_table.shape[0] - 1)).astype(jnp.int32)
+    d = d_table[b]                                        # [...] u32
+    slot = (_fmix32_dev(h2 ^ d)
+            & jnp.uint32(fp_table.shape[0] - 1)).astype(jnp.int32)
+    found = fp_table[slot] == (h2 | jnp.uint32(1))
+    return found, val_table[slot]
 
 
 def _hash_lm_score(lm: HashLM, ctx, cand):
@@ -197,16 +180,16 @@ def _hash_lm_score(lm: HashLM, ctx, cand):
         toks = [ctx[:, j] for j in range(n - 2, -1, -1)]  # oldest → newest
         valid = ctx[:, n - 2] >= 0  # newest-first ⇒ oldest present = all
         h1, h2 = _hash_fold([t[:, None] for t in toks] + [cand[None, :]])
-        found, logp = _hash_lookup(lm.fps[n - 2], lm.logps[n - 2], h1, h2,
-                                   lm.probes[n - 2])      # [K, N]
+        found, logp = _hash_lookup(lm.ds[n - 2], lm.fps[n - 2],
+                                   lm.logps[n - 2], h1, h2)  # [K, N]
         if n == 2:
             last = jnp.where(valid, ctx[:, 0], 0)
             bo = jnp.where(valid & lm.uni_found[last],
                            lm.uni_backoff[last], 0.0)     # [K]
         else:
             bh1, bh2 = _hash_fold(toks)                   # [K]
-            bfound, bval = _hash_lookup(lm.fps[n - 3], lm.backoffs[n - 3],
-                                        bh1, bh2, lm.probes[n - 3])
+            bfound, bval = _hash_lookup(lm.ds[n - 3], lm.fps[n - 3],
+                                        lm.backoffs[n - 3], bh1, bh2)
             bo = jnp.where(valid & bfound, bval, 0.0)
         found = found & valid[:, None]
         f = jnp.where(found, logp, bo[:, None] + f)
@@ -727,27 +710,28 @@ class JaxBeamSearchDecoder:
             try:
                 z = np.load(cache, allow_pickle=False)
                 if (np.array_equal(z['meta'], meta)
-                        and str(z['vocab_sha1']) == vh):
+                        and str(z['vocab_sha1']) == vh
+                        and 'fmt' in z.files and str(z['fmt']) == 'chd1'):
                     n_orders = int(z['n_orders'])
                     return dict(
                         order=int(z['order']),
                         uni_logp=z['uni_logp'], uni_found=z['uni_found'],
                         uni_backoff=z['uni_backoff'],
-                        tables=[(z[f'fp{i}'], z[f'lp{i}'], z[f'bk{i}'])
-                                for i in range(n_orders)],
-                        probes=[int(p) for p in z['probes']])
+                        tables=[(z[f'd{i}'], z[f'fp{i}'], z[f'lp{i}'],
+                                 z[f'bk{i}']) for i in range(n_orders)])
             except Exception:
                 pass  # unreadable/stale cache: rebuild below
         scorer = NgramScorer(path, self.vocab_list)
         t = build_hash_tables(scorer, self.vocab_list)
         try:
             arrs = dict(meta=meta, vocab_sha1=np.str_(vh),
+                        fmt=np.str_('chd1'),
                         order=np.int64(t['order']),
                         n_orders=np.int64(len(t['tables'])),
                         uni_logp=t['uni_logp'], uni_found=t['uni_found'],
-                        uni_backoff=t['uni_backoff'],
-                        probes=np.asarray(t['probes'], np.int64))
-            for i, (fp, lp, bk) in enumerate(t['tables']):
+                        uni_backoff=t['uni_backoff'])
+            for i, (d, fp, lp, bk) in enumerate(t['tables']):
+                arrs[f'd{i}'] = d
                 arrs[f'fp{i}'], arrs[f'lp{i}'], arrs[f'bk{i}'] = fp, lp, bk
             tmp = cache + '.tmp.npz'
             np.savez(tmp, **arrs)

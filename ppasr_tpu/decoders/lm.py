@@ -116,7 +116,6 @@ class NgramScorer:
 # The beam step probes these with XLA gathers (beam_search_jax._hash_lm_score)
 # using the SAME fold hash as _fold_hash below — keep the two in sync.
 
-LM_HASH_PROBES = 8
 _H1_SEED, _H1_MULT = 2166136261, 0x9E3779B1
 _H2_SEED, _H2_MULT = 0x27220A95, 0x85EBCA6B
 _U32 = 0xFFFFFFFF
@@ -145,24 +144,81 @@ def _fold_hash(ids):
     return _fmix32(h1), _fmix32(h2)
 
 
+def _fmix32_np(h):
+    """Vectorized murmur3 avalanche over a uint32 numpy array (wrapping
+    arithmetic; numpy unsigned mults wrap mod 2^32)."""
+    h = h.astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def _build_chd(h1s, h2s, bucket_ratio=4, start_m=None):
+    """CHD-style perfect-hash placement: bucket by h1, then per-bucket
+    displacement d so slot = fmix32(h2 ^ d) & (M-1) is collision-free.
+
+    Device lookups cost exactly 2 gathers (d-table + slot) instead of up
+    to 8 linear probes — the probe chain was the dominant decode cost with
+    an LM fused (STATUS r1 perf notes: 2.5k → 0.8k audio-s/s at B=16).
+
+    Returns (d_table u32 [B], slots int64 [n]) with slots[i] the placed
+    position of key i, or None when a displacement can't be found at this
+    table size (caller grows M and retries)."""
+    n = len(h1s)
+    b_count = max(64, 1 << int(np.ceil(np.log2(max(n, 1) / bucket_ratio
+                                                + 1))))
+    m = start_m
+    bucket = (h1s & np.uint32(b_count - 1)).astype(np.int64)
+    order_idx = np.argsort(bucket, kind='stable')
+    bounds = np.searchsorted(bucket[order_idx], np.arange(b_count + 1))
+    # process buckets largest-first: big buckets need the most freedom
+    sizes = bounds[1:] - bounds[:-1]
+    d_table = np.zeros((b_count,), np.uint32)
+    used = np.zeros((m,), bool)
+    slots_out = np.empty((n,), np.int64)
+    mask = np.uint32(m - 1)
+    for b in np.argsort(-sizes):
+        if sizes[b] == 0:
+            continue
+        keys = order_idx[bounds[b]:bounds[b + 1]]
+        h2 = h2s[keys]
+        for d in range(1, 65536):
+            slots = _fmix32_np(h2 ^ np.uint32(d)) & mask
+            if len(np.unique(slots)) != len(slots) or used[slots].any():
+                continue
+            used[slots] = True
+            d_table[b] = d
+            slots_out[keys] = slots
+            break
+        else:
+            return None, None
+    return d_table, slots_out
+
+
 def build_hash_tables(scorer: NgramScorer, vocab_list, max_order=None):
-    """Flatten an NgramScorer into device-friendly probing hash tables.
+    """Flatten an NgramScorer into device-friendly CHD perfect-hash tables.
 
     Returns a dict of numpy arrays:
       order        int (min(scorer.order, max_order))
       uni_logp     [V] f32 (log10, -6.0 for tokens absent from the LM)
       uni_found    [V] bool
       uni_backoff  [V] f32 (log10 backoff weight, 0 when absent)
-      tables       list over n = 2..order of (fp u32 [M], logp f32 [M],
-                   backoff f32 [M]); M a power of two, load factor <= 0.5,
-                   every entry within LM_HASH_PROBES linear probes
-      probes       list over n = 2..order: actual max probe count needed
-                   (<= LM_HASH_PROBES) — the device lookup only gathers
-                   this many slots per query.
+      tables       list over n = 2..order of (d u32 [B], fp u32 [M],
+                   logp f32 [M], backoff f32 [M]); B, M powers of two.
+                   Device lookup: d = d_tbl[h1 & (B-1)], slot =
+                   fmix32(h2 ^ d) & (M-1), hit iff fp[slot] == (h2 | 1) —
+                   exactly one slot inspected per query (the old scheme
+                   linearly probed up to 8).
 
     n-grams containing tokens outside vocab_list (<s>, </s>, pruned chars)
     are dropped — the host scorer can never query them either, since its
-    contexts come from vocab ids (NgramScorer.score).
+    contexts come from vocab ids (NgramScorer.score). Full-(h1, h2) hash
+    collisions between distinct n-grams (~2^-50 per pair) drop the later
+    entry: such pairs were already indistinguishable to the fingerprint
+    check at query time.
     """
     order = scorer.order if max_order is None else min(scorer.order,
                                                        max_order)
@@ -178,50 +234,46 @@ def build_hash_tables(scorer: NgramScorer, vocab_list, max_order=None):
             uni_found[i] = True
 
     tables = []
-    probe_counts = []
     for n in range(2, order + 1):
-        entries = []
+        seen = {}
+        h1l, h2l, lpl, bkl = [], [], [], []
         for ngram, (logp, bo) in scorer.tables.get(n, {}).items():
             ids = [tok_to_id.get(w) for w in ngram]
             if None in ids:
                 continue
-            entries.append((ids, logp, bo))
+            h1, h2 = _fold_hash(ids)
+            if (h1, h2) in seen:
+                continue
+            seen[(h1, h2)] = True
+            h1l.append(h1)
+            h2l.append(h2)
+            lpl.append(logp)
+            bkl.append(bo)
+        h2s = np.asarray(h2l, np.uint32)
+        n_keys = len(h1l)
         m = 64
-        while m < 2 * max(len(entries), 1):
+        while m < 2 * max(n_keys, 1):
             m *= 2
-        for _attempt in range(8):
-            fp = np.zeros((m,), np.uint32)
-            lp = np.zeros((m,), np.float32)
-            bk = np.zeros((m,), np.float32)
-            ok = True
-            max_probe = 1
-            for ids, logp, bo in entries:
-                h1, h2 = _fold_hash(ids)
-                f = h2 | 1  # fingerprint 0 is the empty sentinel
-                for p in range(LM_HASH_PROBES):
-                    s = (h1 + p) & (m - 1)
-                    if fp[s] == 0:
-                        fp[s] = f
-                        lp[s] = logp
-                        bk[s] = bo
-                        max_probe = max(max_probe, p + 1)
-                        break
-                    if fp[s] == f:
-                        # same slot + same fingerprint for a different
-                        # n-gram (~2^-50 per pair): regrow reshuffles slots
-                        ok = False
-                        break
-                else:
-                    ok = False
-                if not ok:
-                    break
-            if ok:
+        while True:
+            if n_keys == 0:
+                d_tbl = np.zeros((64,), np.uint32)
+                slots = np.empty((0,), np.int64)
+                break
+            d_tbl, slots = _build_chd(np.asarray(h1l, np.uint32),
+                                      np.asarray(h2l, np.uint32),
+                                      start_m=m)
+            if d_tbl is not None:
                 break
             m *= 2
-        else:
-            raise RuntimeError("LM hash table build failed to converge")
-        tables.append((fp, lp, bk))
-        probe_counts.append(max_probe)
+            if m > (1 << 31):
+                raise RuntimeError("LM CHD build failed to converge")
+        fp = np.zeros((m,), np.uint32)
+        lp = np.zeros((m,), np.float32)
+        bk = np.zeros((m,), np.float32)
+        if n_keys:
+            fp[slots] = h2s | np.uint32(1)  # fp 0 = empty sentinel
+            lp[slots] = np.asarray(lpl, np.float32)
+            bk[slots] = np.asarray(bkl, np.float32)
+        tables.append((d_tbl, fp, lp, bk))
     return dict(order=order, uni_logp=uni_logp, uni_found=uni_found,
-                uni_backoff=uni_backoff, tables=tables,
-                probes=probe_counts)
+                uni_backoff=uni_backoff, tables=tables)

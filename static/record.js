@@ -40,11 +40,25 @@ function downsampleTo16k(buffer, fromRate) {
   return out;
 }
 
+function setRecUI(btn, on) {
+  // icon + class swap (record.png idle / recording.gif pulsing)
+  const icon = document.getElementById('rec_icon');
+  if (icon) icon.src = on ? '/static/recording.gif' : '/static/record.png';
+  btn.classList.toggle('recording', on);
+  for (const node of btn.childNodes) {
+    if (node.nodeType === Node.TEXT_NODE && node.textContent.trim()) {
+      node.textContent = on ? '停止录音' : '开始录音';
+      return;
+    }
+  }
+  btn.appendChild(document.createTextNode(on ? '停止录音' : '开始录音'));
+}
+
 async function toggleRecord() {
   const btn = document.getElementById('rec_btn');
   if (recording) {
     recording = false;
-    btn.innerText = '开始录音';
+    setRecUI(btn, false);
     if (ws && ws.readyState === WebSocket.OPEN) ws.send('end');
     if (processor) processor.disconnect();
     if (source) source.disconnect();
@@ -70,6 +84,6 @@ async function toggleRecord() {
     source.connect(processor);
     processor.connect(audioCtx.destination);
     recording = true;
-    btn.innerText = '停止录音';
+    setRecUI(btn, true);
   };
 }

@@ -259,7 +259,6 @@ def test_hash_lm_npz_cache_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(d1.lm_hash),
                     jax.tree.leaves(d2.lm_hash)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
-    assert d1.lm_hash.probes == d2.lm_hash.probes
     # different vocab mapping → cache invalid → rebuilt, different tables
     vocab2 = ['<blank>', 'b', 'a', 'c', 'd', 'e']
     d3 = JaxBeamSearchDecoder(vocab2, beam_size=4, alpha=1.0, beta=0.0,
@@ -359,3 +358,28 @@ def test_all_blank_utterance_compaction():
     prefixes, lengths, scores = all_hypotheses(states, 8)
     alive = np.asarray(scores) > -1e15
     assert np.asarray(lengths)[alive].max() == 0
+
+
+def test_chd_build_scale_and_placement():
+    """CHD perfect-hash builder at realistic scale: every key placed in a
+    unique slot, device addressing (bucket → displacement → fmix slot)
+    reproduces the placements, and absent keys miss the fingerprint."""
+    from ppasr_tpu.decoders.lm import _build_chd, _fmix32_np
+    rng = np.random.default_rng(3)
+    n = 50_000
+    h1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    h2 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    m = 1 << int(np.ceil(np.log2(2 * n)))
+    d, slots = _build_chd(h1, h2, start_m=m)
+    assert d is not None and len(np.unique(slots)) == n
+    b = h1 & np.uint32(len(d) - 1)
+    s2 = _fmix32_np(h2 ^ d[b]) & np.uint32(m - 1)
+    assert np.array_equal(s2.astype(np.int64), slots)
+    # absent keys: the addressed slot's fingerprint ~never matches
+    fp = np.zeros((m,), np.uint32)
+    fp[slots] = h2 | np.uint32(1)
+    q1 = rng.integers(0, 2**32, 10_000, dtype=np.uint32)
+    q2 = rng.integers(0, 2**32, 10_000, dtype=np.uint32)
+    qs = _fmix32_np(q2 ^ d[q1 & np.uint32(len(d) - 1)]) & np.uint32(m - 1)
+    false_pos = np.mean(fp[qs] == (q2 | np.uint32(1)))
+    assert false_pos < 1e-3
