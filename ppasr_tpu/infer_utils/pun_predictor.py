@@ -61,11 +61,27 @@ class PunctuationModel(nn.Module):
         return nn.Dense(self.num_labels, name='classifier')(x)
 
 
+def packaged_pun_model_dir() -> str:
+    """Directory of the pretrained punctuation artifact that ships with the
+    package (the reference downloads its pretrained Ernie artifact on first
+    use — pun_predictor.py:15-60; air-gapped here, so it's packaged)."""
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'assets', 'pun_models')
+
+
 class PunctuationPredictor:
     def __init__(self, model_dir: str = 'models/pun_models'):
-        vocab_path = os.path.join(model_dir, 'pun_vocab.txt')
-        labels_path = os.path.join(model_dir, 'pun_labels.txt')
-        params_path = os.path.join(model_dir, 'pun_model.msgpack')
+        def files(d):
+            return [os.path.join(d, 'pun_vocab.txt'),
+                    os.path.join(d, 'pun_labels.txt'),
+                    os.path.join(d, 'pun_model.msgpack')]
+        if not all(os.path.exists(p) for p in files(model_dir)):
+            # out-of-box behavior: fall back to the packaged pretrained
+            # artifact before failing
+            packaged = packaged_pun_model_dir()
+            if all(os.path.exists(p) for p in files(packaged)):
+                model_dir = packaged
+        vocab_path, labels_path, params_path = files(model_dir)
         if not all(os.path.exists(p)
                    for p in [vocab_path, labels_path, params_path]):
             raise FileNotFoundError(

@@ -165,6 +165,12 @@ def test_effcon_streaming_group3_approximate():
     t = min(stream_out.shape[1], full_out.shape[1])
     a, b = stream_out[0, :t].ravel(), full_out[0, :t].ravel()
     corr = np.corrcoef(a, b)[0, 1]
+    rel_rms = float(np.sqrt(np.mean((a - b) ** 2))
+                    / np.sqrt(np.mean(b ** 2)))
     # random untrained weights amplify the group-shift approximation;
-    # observed ~0.87 here (trained models behave far better in practice)
+    # observed corr≈0.867, rel_rms≈0.515 here (trained models behave far
+    # better in practice). BOTH bounds pin the deviation MAGNITUDE: a
+    # regression that doubles the approximation error fails rel_rms even
+    # while correlation stays acceptable.
     assert corr > 0.8, corr
+    assert rel_rms < 0.65, rel_rms

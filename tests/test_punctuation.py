@@ -49,3 +49,21 @@ def test_punctuation_restoration(pun_model_dir):
     # pun_predictor.py:62-70)
     assert pun('今天天气很好，我们去公园玩。太好了') == \
         pun('今天天气很好我们去公园玩太好了')
+
+
+def test_packaged_pretrained_artifact_out_of_box():
+    """A pretrained artifact ships with the package (reference users get a
+    downloaded pretrained model — pun_predictor.py:15-60): the default
+    PunctuationPredictor() must restore marks with no training step and no
+    explicit model_dir."""
+    from ppasr_tpu.infer_utils.pun_predictor import (PunctuationPredictor,
+                                                     packaged_pun_model_dir)
+    assert os.path.exists(os.path.join(packaged_pun_model_dir(),
+                                       'pun_model.msgpack'))
+    pun = PunctuationPredictor()  # default dir absent → packaged fallback
+    # in-domain text (the artifact is trained on the project's zh docs)
+    out = pun('首先安装所有的依赖环境然后准备好数据就可以开始训练了')
+    assert out != '首先安装所有的依赖环境然后准备好数据就可以开始训练了'
+    assert any(m in out for m in '，。？！、；：')
+    # idempotent over pre-punctuated input
+    assert pun(out) == out
