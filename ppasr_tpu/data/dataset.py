@@ -35,7 +35,8 @@ class ASRDataset:
                  max_duration: float = 20,
                  manifest_type: str = 'txt',
                  augmentation_config: list = None,
-                 train: bool = False):
+                 train: bool = False,
+                 return_raw: bool = False):
         preprocess_conf = dict(preprocess_conf or {})
         self.dataset_reader = None
         if manifest_type == 'txt':
@@ -59,6 +60,14 @@ class ASRDataset:
         self.augmentation = AugmentationPipeline(augmentation_config) \
             if (train and augmentation_config) else None
         self._feature_pools = {}
+        # raw mode (device-frontend training, ops/frontend.py): __getitem__
+        # returns the int16-scaled float waveform after host audio
+        # augmentation; fbank/dither/SpecAugment run on device inside the
+        # train step. Feature-domain host augmentors are skipped — the
+        # frontend applies them from the same augmentation config.
+        self.return_raw = bool(return_raw)
+        if self.return_raw and manifest_type != 'txt':
+            raise ValueError("return_raw requires a txt manifest of wavs")
 
     def __len__(self):
         if self.dataset_reader is not None:
@@ -77,6 +86,23 @@ class ASRDataset:
     def __getitem__(self, idx: int):
         instance = self.entry(idx)
         path = instance['audio_filepath']
+        if self.return_raw:
+            if path.endswith('.npy'):
+                raise ValueError(
+                    "raw mode cannot read precomputed feature manifests; "
+                    "point train_manifest at the wav manifest")
+            if 'start_time' in instance:
+                audio = AudioSegment.slice_from_file(
+                    path, start=instance['start_time'],
+                    end=instance['end_time'])
+            else:
+                audio = AudioSegment.from_file(path)
+            if self.augmentation is not None:
+                self.augmentation.transform_audio(audio)
+            samples = self.audio_featurizer.waveform(audio)
+            tokens = np.asarray(
+                self.text_featurizer.featurize(instance['text']), np.int32)
+            return samples.astype(np.float32), tokens
         if path.endswith('.npy'):
             # precomputed pooled feature file with frame-slice bounds
             # (reference reader.py:52-60 / trainer extract_features).
@@ -142,6 +168,10 @@ def collate_fn(batch, time_bucket: int = 1, label_bucket: int = 1,
     if shuffle:
         batch = list(batch)
         random.shuffle(batch)
+    if batch[0][0].ndim == 1:
+        # raw-waveform items ([S] samples) — device-frontend training path
+        return collate_raw_fn(batch, label_bucket=max(label_bucket, 1),
+                              pad_to=pad_to)
     bsz = len(batch)
     dim = batch[0][0].shape[1]
     max_t = max(f.shape[0] for f, _ in batch)
@@ -163,3 +193,42 @@ def collate_fn(batch, time_bucket: int = 1, label_bucket: int = 1,
         input_lens[i] = t
         label_lens[i] = u
     return inputs, labels, input_lens, label_lens
+
+
+# raw-waveform collate buckets: samples rounded to 64 frame shifts (0.64 s)
+# for jit shape stability — mirrors collate_fn's time_bucket=64 on frames
+RAW_SAMPLE_BUCKET = 64 * 160
+
+
+def collate_raw_fn(batch, sample_bucket: int = RAW_SAMPLE_BUCKET,
+                   label_bucket: int = 16, shuffle: bool = False,
+                   pad_to=None):
+    """List of (waveform [S], tokens [U]) → padded raw batch.
+
+    Returns (wavs [B, Smax] f32, labels [B, Umax] i32 pad −1, wav_lens [B]
+    i64 sample counts, label_lens [B] i64). ``pad_to=(samples, labels)``
+    raises the pad targets (same cross-rank-agreement contract as
+    collate_fn)."""
+    if shuffle:
+        batch = list(batch)
+        random.shuffle(batch)
+    bsz = len(batch)
+    max_s = max(w.shape[0] for w, _ in batch)
+    max_u = max(max(len(t) for _, t in batch), 1)
+    if pad_to is not None:
+        max_s = max(max_s, int(pad_to[0]))
+        max_u = max(max_u, int(pad_to[1]))
+    max_s = _round_up(max_s, sample_bucket)
+    max_u = _round_up(max_u, label_bucket)
+
+    wavs = np.zeros((bsz, max_s), np.float32)
+    labels = np.full((bsz, max_u), -1, np.int32)
+    wav_lens = np.zeros((bsz,), np.int64)
+    label_lens = np.zeros((bsz,), np.int64)
+    for i, (w, tokens) in enumerate(batch):
+        s, u = w.shape[0], len(tokens)
+        wavs[i, :s] = w
+        labels[i, :u] = tokens
+        wav_lens[i] = s
+        label_lens[i] = u
+    return wavs, labels, wav_lens, label_lens

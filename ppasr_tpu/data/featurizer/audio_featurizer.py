@@ -50,6 +50,17 @@ class AudioFeaturizer:
                                  dither=dither, rng=self._rng)
         raise ValueError(f"unsupported feature method: {self._feature_method}")
 
+    def waveform(self, audio_segment: AudioSegment) -> np.ndarray:
+        """AudioSegment → int16-scaled float32 waveform with the same
+        sample-domain prep as featurize (resample + dB-normalize), for the
+        on-device training frontend (ops/frontend.py) which runs the
+        fbank/dither stage inside the jitted train step."""
+        if audio_segment.sample_rate != self._target_sample_rate:
+            audio_segment.resample(self._target_sample_rate)
+        if self._use_dB_normalization:
+            audio_segment.normalize(target_db=self._target_dB)
+        return audio_segment.to('int16').astype(np.float32)
+
     @property
     def feature_dim(self) -> int:
         """Feature dimensionality (reference audio_featurizer.py:140-154)."""

@@ -19,6 +19,7 @@ nyquist), log with 1.19e-7 floor.
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -230,7 +231,8 @@ def fbank_jax(waveform: jnp.ndarray, lengths: jnp.ndarray,
               frame_length_ms: float = 25.0, frame_shift_ms: float = 10.0,
               preemphasis: float = 0.97, remove_dc_offset: bool = True,
               low_freq: float = 20.0, high_freq: float = 0.0,
-              use_matmul_dft: bool = False, dtype=jnp.float32):
+              use_matmul_dft: bool = False, dtype=jnp.float32,
+              dither: float = 0.0, dither_rng=None):
     """Batched on-device kaldi fbank: [B, S] int16-scaled float waveforms (+
     [B] sample counts) → ([B, T, M] log-mel, [B] frame counts).
 
@@ -240,8 +242,12 @@ def fbank_jax(waveform: jnp.ndarray, lengths: jnp.ndarray,
     ~1e7 while the true bin value is ~1e1), whereas FFT butterflies keep
     partial sums balanced (error O(log N) vs O(N)). ``use_matmul_dft=True``
     switches to the two-matmul MXU formulation for experimentation. The
-    mel projection is a matmul either way. No dither: the device path is
-    inference/eval; training augmentation runs on host."""
+    mel projection is a matmul either way.
+
+    ``dither``/``dither_rng``: kaldi-style per-framed-sample Gaussian dither
+    (matching fbank_numpy/_preprocess_frames: independent draws per frame so
+    overlapping samples get independent noise). Used by the device-frontend
+    *training* path; inference/eval callers leave it 0."""
     bsz, s = waveform.shape
     window_size = int(sample_rate * frame_length_ms * MILLISECONDS_TO_SECONDS)
     window_shift = int(sample_rate * frame_shift_ms * MILLISECONDS_TO_SECONDS)
@@ -253,6 +259,9 @@ def fbank_jax(waveform: jnp.ndarray, lengths: jnp.ndarray,
 
     frames = frame_jax(waveform.astype(jnp.float32), window_size, window_shift,
                        max_t)
+    if dither != 0.0 and dither_rng is not None:
+        frames = frames + dither * jax.random.normal(
+            dither_rng, frames.shape, jnp.float32)
     if remove_dc_offset:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     if preemphasis != 0.0:

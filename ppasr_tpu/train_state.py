@@ -27,15 +27,28 @@ def create_train_state(params, tx) -> TrainState:
                       opt_state=tx.init(params))
 
 
-def make_train_step(model, tx, accum_grad: int = 1):
+def make_train_step(model, tx, accum_grad: int = 1, frontend=None):
     """Build the jitted train step.
 
     The step takes micro-batched arrays shaped [accum, B, ...] and scans over
     the leading axis, averaging gradients — one optimizer update per call
-    (reference grad-accum contract, trainer.py:369-394)."""
+    (reference grad-accum contract, trainer.py:369-394).
+
+    ``frontend`` (ops/frontend.make_device_frontend): when set, batches carry
+    raw waveforms ('wav' [accum, B, S], 'wav_lens' [accum, B]) and the
+    fbank + dither + SpecAugment stage runs on device inside the step —
+    its gradient is stopped (features are data, not parameters)."""
 
     def loss_fn(params, batch, rngs):
-        out = model.apply(params, batch['speech'], batch['speech_lens'],
+        if frontend is not None and 'wav' in batch:
+            feat, feat_lens = frontend(batch['wav'], batch['wav_lens'],
+                                       rngs.pop('frontend'),
+                                       deterministic=False)
+            speech = jax.lax.stop_gradient(feat)
+            speech_lens = feat_lens
+        else:
+            speech, speech_lens = batch['speech'], batch['speech_lens']
+        out = model.apply(params, speech, speech_lens,
                           batch['text'], batch['text_lens'],
                           deterministic=False, rngs=rngs)
         metrics = {k: (v if v is not None else jnp.zeros(()))
@@ -48,8 +61,11 @@ def make_train_step(model, tx, accum_grad: int = 1):
         """batches: pytree of [accum, B, ...] arrays."""
         def micro_rngs(i):
             step_rng = jax.random.fold_in(rng, i)
-            return {'dropout': step_rng,
+            rngs = {'dropout': step_rng,
                     'chunk': jax.random.fold_in(step_rng, 1)}
+            if frontend is not None:
+                rngs['frontend'] = jax.random.fold_in(step_rng, 2)
+            return rngs
 
         if accum_grad == 1:
             # fast path: no accumulation scan — skips the zero-init /

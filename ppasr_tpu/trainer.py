@@ -175,7 +175,7 @@ class PPASRTrainer:
 
     # ------------------------------------------------------------- builders
 
-    def _build_dataset(self, train: bool):
+    def _build_dataset(self, train: bool, return_raw: bool = False):
         dataset_conf = self.configs.dataset_conf
         aug_conf = load_augmentation_config(self.augment_conf_path) \
             if (train and self.augment_conf_path) else None
@@ -191,7 +191,8 @@ class PPASRTrainer:
             min_duration=dataset_conf.get('min_duration', 0.5),
             max_duration=dataset_conf.get('max_duration', 20) if train else -1,
             manifest_type=dataset_conf.get('manifest_type', 'txt'),
-            augmentation_config=aug_conf, train=train)
+            augmentation_config=aug_conf, train=train,
+            return_raw=return_raw)
 
     def _build_model(self, input_dim, vocab_size, dtype=None):
         if dtype is None:
@@ -349,10 +350,25 @@ class PPASRTrainer:
         max_epoch = max_epoch or int(train_conf.get('max_epoch', 200))
         log_interval = int(train_conf.get('log_interval', 100))
 
-        train_dataset = self._build_dataset(train=True)
+        # device-frontend training (train_conf.device_frontend): the loader
+        # yields raw padded waveforms and fbank + dither + SpecAugment run
+        # inside the jitted train step (ops/frontend.py) — removes the host
+        # featurize bottleneck (host fbank is ~10-30× slower than the chip
+        # consumes features; no reference counterpart).
+        device_frontend = bool(train_conf.get('device_frontend'))
+        train_dataset = self._build_dataset(train=True,
+                                            return_raw=device_frontend)
         test_dataset = self._build_dataset(train=False)
         vocab_size = train_dataset.vocab_size
         input_dim = train_dataset.feature_dim
+        frontend = None
+        if device_frontend:
+            from ppasr_tpu.ops.frontend import make_device_frontend
+            frontend = make_device_frontend(
+                dict(self.configs.preprocess_conf),
+                load_augmentation_config(self.augment_conf_path)
+                if self.augment_conf_path else None,
+                train=True)
 
         # multi-host: initialize the JAX distributed runtime when launched
         # under a coordinator (replaces fleet.init collective setup,
@@ -382,11 +398,18 @@ class PPASRTrainer:
         #   sampler attaches a per-batch hint over the cross-rank batch
         pad_margin = 1.12 if train_dataset.augmentation is not None else 1.0
 
+        sample_rate = int(self.configs.preprocess_conf.get('sample_rate',
+                                                           16000))
+
         def entry_pad(i):
             e = train_dataset.entry(i)
-            frames = int(math.ceil(
-                float(e.get('duration', 0.0)) * 100.0 * pad_margin)) + 4
-            return frames, max(len(str(e.get('text', ''))), 1)
+            if device_frontend:  # raw mode pads samples, not frames
+                t = int(math.ceil(float(e.get('duration', 0.0))
+                                  * sample_rate * pad_margin)) + 64
+            else:
+                t = int(math.ceil(
+                    float(e.get('duration', 0.0)) * 100.0 * pad_margin)) + 4
+            return t, max(len(str(e.get('text', ''))), 1)
 
         const_pad = None
         if dataset_conf.get('pad_to_max'):
@@ -427,7 +450,8 @@ class PPASRTrainer:
             resume_model or save_model_path, state)
         state = replicate(mesh, state)
 
-        train_step = jax.jit(make_train_step(model, tx, accum_grad),
+        train_step = jax.jit(make_train_step(model, tx, accum_grad,
+                                             frontend=frontend),
                              donate_argnums=0)
         # rbg (hardware RngBitGenerator) for the per-step dropout/chunk keys:
         # the default threefry PRNG generates the ~600M dropout mask bits per
@@ -478,11 +502,13 @@ class PPASRTrainer:
                 if micro == 0:
                     continue
                 usable = micro * accum_grad
+                in_key, len_key = ('wav', 'wav_lens') if device_frontend \
+                    else ('speech', 'speech_lens')
                 batch = {
-                    'speech': inputs[:usable].reshape(
+                    in_key: inputs[:usable].reshape(
                         accum_grad, micro, *inputs.shape[1:]),
-                    'speech_lens': in_lens[:usable].reshape(accum_grad,
-                                                            micro),
+                    len_key: in_lens[:usable].reshape(accum_grad,
+                                                      micro),
                     'text': labels[:usable].reshape(accum_grad, micro,
                                                     -1),
                     'text_lens': lab_lens[:usable].reshape(accum_grad,
@@ -511,8 +537,10 @@ class PPASRTrainer:
                 if batch_id % log_interval == 0:
                     loss = float(metrics['loss'])
                     lr = float(schedule(int(state.step)))
-                    # ips in audio-seconds/sec (frames are 10 ms)
-                    audio_sec = float(np.sum(in_lens[:usable])) / 100.0
+                    # ips in audio-seconds/sec (frames are 10 ms; raw
+                    # lens are samples)
+                    audio_sec = float(np.sum(in_lens[:usable])) / (
+                        sample_rate if device_frontend else 100.0)
                     ips = audio_sec / max(batch_cost, 1e-9)
                     eta = timedelta(seconds=int(
                         np.mean(train_times)
