@@ -152,6 +152,61 @@ def bench_train_step(model, params, iters=5, bsz=32, frames=1000):
     return bsz * (frames / 100.0) * iters / (time.perf_counter() - start)
 
 
+def bench_train_step_device_frontend(params, iters=5, bsz=32, frames=1000):
+    """Training step consuming RAW AUDIO: on-device fbank + dither +
+    SpecAugment fused into the jitted step (ops/frontend.py,
+    train_conf.device_frontend). Comparable to train_step_throughput but
+    includes the whole frontend — the host's only job is reading/padding
+    wavs (bench_reader raw_wav_device_frontend)."""
+    import optax
+    from ppasr_tpu.models.factory import build_model
+    from ppasr_tpu.ops.frontend import make_device_frontend
+    from ppasr_tpu.train_state import TrainState, make_train_step
+    model = build_model(
+        'conformer', 80, 4096, streaming=True,
+        encoder_conf=dict(output_size=256, attention_heads=4,
+                          linear_units=2048, num_blocks=12,
+                          cnn_module_kernel=15),
+        decoder_conf=dict(attention_heads=4, linear_units=1024,
+                          num_blocks=3, r_num_blocks=3),
+        model_conf=dict(ctc_weight=0.3, lsm_weight=0.1, reverse_weight=0.3),
+        dtype=jnp.bfloat16)
+    tx = optax.adamw(1e-4)
+    params = jax.tree.map(jnp.copy, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    frontend = make_device_frontend(
+        {'feature_method': 'fbank', 'n_mels': 80, 'sample_rate': 16000},
+        augment_configs=[
+            {'type': 'specaug', 'aug_type': 'feature', 'prob': 1.0,
+             'params': {'max_time_warp': 5, 'max_t_ratio': 0.05,
+                        'n_freq_masks': 2, 'max_f_ratio': 0.15,
+                        'n_time_masks': 2, 'replace_with_zero': False}},
+            {'type': 'specsub', 'aug_type': 'feature', 'prob': 1.0,
+             'params': {'max_t': 30, 'num_t_sub': 3}}],
+        train=True)
+    step_fn = jax.jit(make_train_step(model, tx, accum_grad=1,
+                                      frontend=frontend),
+                      donate_argnums=0)
+    n_samp = frames * 160 + 240  # ~frames fbank frames at 16 kHz
+    batch = {
+        'wav': jnp.asarray(np.random.default_rng(5).standard_normal(
+            (1, bsz, n_samp)) * 3000.0, jnp.float32),
+        'wav_lens': jnp.full((1, bsz), n_samp, jnp.int32),
+        'text': jnp.tile(jnp.asarray([[[1, 2, 3, -1]]], jnp.int32),
+                         (1, bsz, 1)),
+        'text_lens': jnp.full((1, bsz), 3, jnp.int32),
+    }
+    rng = jax.random.key(0, impl='rbg')
+    state, metrics = step_fn(state, batch, rng)
+    _fence(metrics)
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch, rng)
+    _fence(metrics)
+    return bsz * (n_samp / 16000.0) * iters / (time.perf_counter() - start)
+
+
 def load_trained_flagship():
     """(model, params, vocab_list) from the real trained checkpoint when one
     exists (models/conformer_streaming_fbank/best_model) so the end-to-end
@@ -207,22 +262,29 @@ def bench_reader(duration_s=8.0):
     cfg = load_config('configs/conformer.yml')
     aug = load_augmentation_config('configs/augmentation.json')
     out = {}
-    paths = [('raw_wav_augment', 'dataset/manifest.train')]
+    # (name, manifest, return_raw): raw_wav_host runs the full host
+    # featurize (the reference DataLoader-worker job); raw_wav_device_frontend
+    # is the host's job under train_conf.device_frontend (read + audio
+    # augment + pad — fbank/SpecAugment run on the chip, ops/frontend.py)
+    paths = [('raw_wav_host_fbank', 'dataset/manifest.train', False),
+             ('raw_wav_device_frontend', 'dataset/manifest.train', True)]
     if os.path.exists('dataset/manifest_features.train'):
         paths.append(('features_precomputed',
-                      'dataset/manifest_features.train'))
-    for name, manifest in paths:
+                      'dataset/manifest_features.train', False))
+    for name, manifest, raw in paths:
         ds = ASRDataset(manifest, 'dataset/vocabulary.txt',
                         mean_istd_filepath='dataset/mean_istd.json',
                         preprocess_conf=dict(cfg.preprocess_conf),
-                        augmentation_config=aug, train=True)
+                        augmentation_config=aug, train=True,
+                        return_raw=raw)
         sampler = SortagradBatchSampler(len(ds), batch_size=32,
                                         sortagrad=False, shuffle=True)
         loader = DataLoader(ds, sampler, num_workers=4, prefetch_factor=2)
+        sr = float(dict(cfg.preprocess_conf).get('sample_rate', 16000))
         start = _t.perf_counter()
         audio_s = 0.0
         for _, _, in_lens, _ in loader:
-            audio_s += float(np.sum(in_lens)) / 100.0
+            audio_s += float(np.sum(in_lens)) / (sr if raw else 100.0)
             if _t.perf_counter() - start > duration_s:
                 break
         out[name] = audio_s / (_t.perf_counter() - start)
@@ -390,6 +452,13 @@ def main():
             "vs_baseline": None}), file=sys.stderr)
     if os.environ.get('BENCH_FULL'):
         # heavy extras (compile time through the device tunnel is minutes)
+        dfe_tp = bench_train_step_device_frontend(params)
+        print(json.dumps({
+            "metric": "train_step_device_frontend_throughput",
+            "value": round(dfe_tp, 2),
+            "unit": "audio-seconds/s/chip (raw audio in: fused on-device "
+                    "fbank+dither+SpecAugment + fwd+bwd+adamw, B=32x10s)",
+            "vs_baseline": None}), file=sys.stderr)
         fe = bench_frontend()
         print(json.dumps({
             "metric": "fbank_frontend_throughput",
