@@ -267,7 +267,8 @@ def bench_reader(duration_s=8.0):
     # is the host's job under train_conf.device_frontend (read + audio
     # augment + pad — fbank/SpecAugment run on the chip, ops/frontend.py)
     paths = [('raw_wav_host_fbank', 'dataset/manifest.train', False),
-             ('raw_wav_device_frontend', 'dataset/manifest.train', True)]
+             ('raw_wav_frontend_py', 'dataset/manifest.train', True),
+             ('raw_wav_frontend_native', 'dataset/manifest.train', True)]
     if os.path.exists('dataset/manifest_features.train'):
         paths.append(('features_precomputed',
                       'dataset/manifest_features.train', False))
@@ -277,6 +278,10 @@ def bench_reader(duration_s=8.0):
                         preprocess_conf=dict(cfg.preprocess_conf),
                         augmentation_config=aug, train=True,
                         return_raw=raw)
+        if name == 'raw_wav_frontend_py':
+            ds._native_raw = False  # force the GIL-bound numpy chain
+        elif name == 'raw_wav_frontend_native' and not ds._native_raw:
+            continue
         sampler = SortagradBatchSampler(len(ds), batch_size=32,
                                         sortagrad=False, shuffle=True)
         loader = DataLoader(ds, sampler, num_workers=4, prefetch_factor=2)

@@ -68,6 +68,24 @@ class ASRDataset:
         self.return_raw = bool(return_raw)
         if self.return_raw and manifest_type != 'txt':
             raise ValueError("return_raw requires a txt manifest of wavs")
+        # native C++ batch loader (csrc/audio_pipeline.cpp): used by
+        # DataLoader when every enabled audio-augmentation stage has a
+        # native implementation; per-item fallback to the Python path
+        self._native_raw = False
+        if self.return_raw:
+            try:
+                from ppasr_tpu.data import native_pipeline as _np_mod
+                self._native_raw = (_np_mod.available()
+                                    and _np_mod.native_stages_only(
+                                        self.augmentation))
+                self._native_mod = _np_mod
+            except Exception:
+                self._native_raw = False
+        self._sample_rate = int(preprocess_conf.get('sample_rate', 16000))
+        self._target_db = (float(preprocess_conf.get('target_dB', -20))
+                           if preprocess_conf.get('use_dB_normalization',
+                                                  True)
+                           else None)
 
     def __len__(self):
         if self.dataset_reader is not None:
@@ -132,6 +150,52 @@ class ASRDataset:
         tokens = np.asarray(self.text_featurizer.featurize(instance['text']),
                             np.int32)
         return feature.astype(np.float32), tokens
+
+    def load_raw_batch(self, indices, label_bucket: int = 16, pad_to=None,
+                       n_threads: int = 4):
+        """Native-batched raw collate: indices → (wavs [B, S] int16-scaled
+        f32, labels [B, U] i32 pad −1, wav_lens [B] i64, label_lens [B] i64).
+
+        Runs the whole wav-read → augment → normalize chain in C++ threads
+        (csrc/audio_pipeline.cpp) with per-item Python fallback; returns
+        None when the native path is unavailable (caller uses __getitem__)."""
+        if not self._native_raw:
+            return None
+        entries = [self.entry(i) for i in indices]
+        params = [self._native_mod.draw_augment_params(self.augmentation)
+                  for _ in entries]
+        # capacity: duration × slowest speed rate (longest stretch) + slack
+        stretch = 1.0
+        for p in params:
+            if p.speed_rate > 0:
+                stretch = max(stretch, 1.0 / p.speed_rate)
+        max_s = max(int(float(e.get('duration', 0.0)) * self._sample_rate
+                        * stretch) + 256 for e in entries)
+        if pad_to is not None:
+            max_s = max(max_s, int(pad_to[0]))
+        max_s = _round_up(max_s, RAW_SAMPLE_BUCKET)
+        wavs, lens = self._native_mod.load_raw_batch(
+            entries, params, self._sample_rate, self._target_db, max_s,
+            n_threads=n_threads)
+        for j, i in enumerate(indices):
+            if lens[j] < 0:  # native fast path rejected → Python item path
+                w, _ = self[i]
+                n = min(len(w), max_s)
+                wavs[j, :n] = w[:n]
+                wavs[j, n:] = 0.0
+                lens[j] = n
+        texts = [np.asarray(self.text_featurizer.featurize(e['text']),
+                            np.int32) for e in entries]
+        max_u = max(max(len(t) for t in texts), 1)
+        if pad_to is not None:
+            max_u = max(max_u, int(pad_to[1]))
+        max_u = _round_up(max_u, max(label_bucket, 1))
+        labels = np.full((len(entries), max_u), -1, np.int32)
+        label_lens = np.zeros((len(entries),), np.int64)
+        for j, t in enumerate(texts):
+            labels[j, :len(t)] = t
+            label_lens[j] = len(t)
+        return wavs, labels, lens.astype(np.int64), label_lens
 
     @property
     def feature_dim(self):

@@ -40,6 +40,19 @@ class DataLoader:
             if self.pad_to is not None:
                 pad_to = (max(pad_to[0], self.pad_to[0]),
                           max(pad_to[1], self.pad_to[1]))
+        # native C++ batch path (raw-waveform datasets): whole read →
+        # augment → normalize chain on a GIL-free thread pool
+        loader = getattr(self.dataset, 'load_raw_batch', None)
+        if loader is not None and getattr(self.dataset, '_native_raw',
+                                          False):
+            if self.shuffle_in_batch:
+                indices = list(indices)
+                import random as _r
+                _r.shuffle(indices)
+            batch = loader(indices, label_bucket=self.label_bucket,
+                           pad_to=pad_to, n_threads=self.num_workers)
+            if batch is not None:
+                return batch
         items = [self.dataset[i] for i in indices]
         return collate_fn(items, self.time_bucket, self.label_bucket,
                           shuffle=self.shuffle_in_batch, pad_to=pad_to)
