@@ -138,3 +138,71 @@ def test_accum_grad_matches_single_big_batch():
         s_micro, micro, rng)
 
     assert _max_param_diff(out_big.params, out_micro.params) < 5e-5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_device_frontend_step_matches_single_device():
+    """Raw-audio DP: the device-frontend train step (on-device fbank inside
+    the jitted step, ops/frontend.py) sharded over data must match the
+    single-device step — the frontend is elementwise per utterance, so the
+    batch-sharded fbank/feature path must not change the math."""
+    from ppasr_tpu.ops.frontend import make_device_frontend
+
+    model = build_model(
+        'conformer', 80, VOCAB, streaming=True,
+        encoder_conf=dict(output_size=32, attention_heads=4,
+                          linear_units=64, num_blocks=1,
+                          cnn_module_kernel=7, dropout_rate=0.0,
+                          positional_dropout_rate=0.0,
+                          attention_dropout_rate=0.0),
+        decoder_conf=dict(attention_heads=2, linear_units=64,
+                          num_blocks=1, r_num_blocks=1,
+                          dropout_rate=0.0, positional_dropout_rate=0.0,
+                          self_attention_dropout_rate=0.0,
+                          src_attention_dropout_rate=0.0),
+        model_conf=dict(ctc_weight=0.5, lsm_weight=0.1, reverse_weight=0.3))
+    # deterministic frontend (no dither/specaug) so single vs sharded
+    # compare exactly
+    frontend = make_device_frontend(
+        {'feature_method': 'fbank', 'n_mels': 80, 'sample_rate': 16000},
+        train=False)
+
+    rng_np = np.random.default_rng(3)
+    bsz, n_samp = 8, 16000
+    wav = (rng_np.standard_normal((1, bsz, n_samp)) * 3000).astype(np.float32)
+    text = rng_np.integers(1, VOCAB - 1, (1, bsz, 4)).astype(np.int32)
+    batch = {
+        'wav': jnp.asarray(wav),
+        'wav_lens': jnp.full((1, bsz), n_samp, jnp.int32),
+        'text': jnp.asarray(text),
+        'text_lens': jnp.full((1, bsz), 4, jnp.int32),
+    }
+    feat0, flens0 = frontend(batch['wav'][0], batch['wav_lens'][0])
+    rng = jax.random.PRNGKey(0)
+    params = model.init({'params': rng, 'dropout': rng, 'chunk': rng},
+                        feat0, flens0, batch['text'][0],
+                        batch['text_lens'][0], deterministic=False)
+    tx = optax.sgd(1e-2)
+    step_rng = jax.random.PRNGKey(11)
+
+    state0 = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                        opt_state=tx.init(params))
+    step = jax.jit(make_train_step(model, tx, accum_grad=1,
+                                   frontend=frontend))
+    ref_state, ref_metrics = step(state0, batch, step_rng)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    p_shard = param_shardings(mesh, params, tp=False)
+    sharded_params = jax.device_put(params, p_shard)
+    sh_state = TrainState(step=jnp.zeros((), jnp.int32),
+                          params=sharded_params,
+                          opt_state=tx.init(sharded_params))
+    sh_batch = jax.device_put(batch, batch_shardings(batch_axis=1, mesh=mesh,
+                                                     batch=batch))
+    step = jax.jit(make_train_step(model, tx, accum_grad=1,
+                                   frontend=frontend))
+    sh_new, sh_metrics = step(sh_state, sh_batch, step_rng)
+
+    assert abs(float(ref_metrics['loss'])
+               - float(sh_metrics['loss'])) < 1e-4
+    assert _max_param_diff(ref_state.params, sh_new.params) < 1e-4
