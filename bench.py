@@ -386,6 +386,67 @@ def bench_beam_decode(iters=5, bsz=16, frames=250, vocab=4096):
     return bsz * frames * 0.04 * iters / (time.perf_counter() - start)
 
 
+def bench_beam_decode_lm(iters=5, bsz=16, frames=250, vocab=4096,
+                         ngrams=200_000):
+    """On-device beam decode with trigram LM fusion through the CHD
+    perfect-hash tables (decoders/lm.py): measures the probe-gather cost
+    inside the beam scan that r1 measured at 3× plain decode with the
+    8-probe linear tables (STATUS r1 perf notes)."""
+    import tempfile
+    from ppasr_tpu.decoders.beam_search_jax import JaxBeamSearchDecoder
+    rng = np.random.default_rng(0)
+    vocab_list = [str(i) for i in range(vocab)]
+    # synthetic trigram ARPA over the decoder vocab
+    n_uni = min(vocab, 4000)
+    n_bi = ngrams // 2
+    n_tri = ngrams // 2
+    with tempfile.NamedTemporaryFile('w', suffix='.arpa', delete=False,
+                                     encoding='utf-8') as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={n_uni + 2}\nngram 2={n_bi}\nngram 3={n_tri}\n\n")
+        f.write("\\1-grams:\n-2.5\t<s>\t-0.5\n-2.5\t</s>\n")
+        for i in range(n_uni):
+            f.write(f"-{1.0 + (i % 37) * 0.05:.3f}\t{vocab_list[i]}\t-0.30\n")
+        f.write("\n\\2-grams:\n")
+        for i in range(n_bi):
+            a, b = (i * 7919) % n_uni, (i * 104729 + 13) % n_uni
+            f.write(f"-{0.8 + (i % 23) * 0.04:.3f}\t{vocab_list[a]} "
+                    f"{vocab_list[b]}\t-0.25\n")
+        f.write("\n\\3-grams:\n")
+        for i in range(n_tri):
+            a = (i * 7919 + 3) % n_uni
+            b = (i * 104729 + 7) % n_uni
+            c = (i * 1299721 + 11) % n_uni
+            f.write(f"-{0.6 + (i % 19) * 0.03:.3f}\t{vocab_list[a]} "
+                    f"{vocab_list[b]} {vocab_list[c]}\n")
+        f.write("\n\\end\\\n")
+        lm_path = f.name
+    logits = rng.standard_normal((bsz, frames, vocab)).astype(np.float32)
+    blank_frames = rng.random((bsz, frames)) < 0.75
+    logits[..., 0] = np.where(blank_frames, 14.0, -2.0)
+    spike = rng.integers(1, vocab, (bsz, frames))
+    idx = np.arange(frames)
+    for b in range(bsz):
+        logits[b, idx, spike[b]] += np.where(blank_frames[b], 0, 10.0)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    probs_dev = jnp.asarray(probs)
+    lens = np.full((bsz,), frames, np.int32)
+    dec = JaxBeamSearchDecoder(vocab_list, beam_size=10,
+                               language_model_path=lm_path)
+    dec.decode_batch(probs_dev, lens)   # compile
+    start = time.perf_counter()
+    for _ in range(iters):
+        dec.decode_batch(probs_dev, lens)
+    elapsed = time.perf_counter() - start
+    try:
+        os.unlink(lm_path)
+        os.unlink(lm_path + '.tpu_lm.npz')
+    except OSError:
+        pass
+    return bsz * frames * 0.04 * iters / elapsed
+
+
 def main():
     model = _flagship()
     rng = jax.random.PRNGKey(0)
@@ -475,6 +536,13 @@ def main():
             "metric": "beam_decode_throughput",
             "value": round(beam_tp, 2),
             "unit": "audio-seconds/s/chip (on-device, B=16 beam=10 V=4096)",
+            "vs_baseline": None}), file=sys.stderr)
+        beam_lm_tp = bench_beam_decode_lm()
+        print(json.dumps({
+            "metric": "beam_decode_lm_fused_throughput",
+            "value": round(beam_lm_tp, 2),
+            "unit": "audio-seconds/s/chip (on-device CHD trigram fusion, "
+                    "200k n-grams, B=16 beam=10 V=4096)",
             "vs_baseline": None}), file=sys.stderr)
     print(json.dumps({
         "metric": "streaming_chunk_latency_b16", "value": round(lat_ms, 2),
