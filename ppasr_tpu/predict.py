@@ -183,6 +183,21 @@ class PPASRPredictor:
                     self.decoding_window, self.input_dim)
             self._device_featurize = jax.jit(device_featurize)
 
+        if use_device_frontend and \
+                self.audio_featurizer._feature_method == 'fbank':
+            # offline batch featurization on device: predict_batch pads raw
+            # waveforms and runs the batched fbank (ops/fbank.fbank_jax) in
+            # one program, instead of per-utterance host kaldi fbank
+            from ppasr_tpu.ops.fbank import fbank_jax as _fbank_jax
+            sr = self.audio_featurizer._target_sample_rate
+
+            def batch_featurize(wavs, wlens):  # [B, S] int16-scaled, [B]
+                return _fbank_jax(wavs, wlens, sample_rate=sr,
+                                  num_mel_bins=self.input_dim)
+            self._batch_featurize_fn = jax.jit(batch_featurize)
+        else:
+            self._batch_featurize_fn = None
+
         self._init_decoder()
         self.reset_stream()
         self._warm_up()
@@ -341,27 +356,43 @@ class PPASRPredictor:
                       is_itn: bool = False, sample_rate: int = 16000):
         """Batched offline recognition: list of path/bytes/ndarray →
         list of {'text','score'} (one padded device pass + batch decode)."""
-        feats = []
-        for audio_data in audio_list:
-            audio = self._load_audio(audio_data, sample_rate)
-            feats.append(self.audio_featurizer.featurize(audio))
-        if not feats:
+        if not audio_list:
             return []
-        max_t = max(f.shape[0] for f in feats)
-        bucket = max(self.time_bucket_frames,
-                     int(math.ceil(max_t / self.time_bucket_frames))
-                     * self.time_bucket_frames)
+        n = len(audio_list)
         # batch axis padded to a power of two: one compiled program per
         # (B-bucket, T-bucket) pair instead of one per exact batch size
         # (predict_long feeds arbitrary VAD segment counts through here)
-        n = len(feats)
         b_bucket = 1 << (n - 1).bit_length() if n > 1 else 1
-        batch = np.zeros((b_bucket, bucket, feats[0].shape[1]),
-                         np.float32)
-        lens = np.zeros((b_bucket,), np.int32)
-        for i, f in enumerate(feats):
-            batch[i, :f.shape[0]] = f
-            lens[i] = f.shape[0]
+        if self._batch_featurize_fn is not None:
+            # device frontend: host only loads/normalizes waveforms; the
+            # batched kaldi fbank runs on device in one program
+            wavs = [self.audio_featurizer.waveform(
+                self._load_audio(a, sample_rate)) for a in audio_list]
+            samp_bucket = self.time_bucket_frames * 160
+            max_s = max(max(len(w) for w in wavs), 400)
+            max_s = int(math.ceil(max_s / samp_bucket)) * samp_bucket
+            wav_batch = np.zeros((b_bucket, max_s), np.float32)
+            wlens = np.zeros((b_bucket,), np.int32)
+            for i, w in enumerate(wavs):
+                wav_batch[i, :len(w)] = w
+                wlens[i] = len(w)
+            batch, lens = self._batch_featurize_fn(jnp.asarray(wav_batch),
+                                                   jnp.asarray(wlens))
+        else:
+            feats = []
+            for audio_data in audio_list:
+                audio = self._load_audio(audio_data, sample_rate)
+                feats.append(self.audio_featurizer.featurize(audio))
+            max_t = max(f.shape[0] for f in feats)
+            bucket = max(self.time_bucket_frames,
+                         int(math.ceil(max_t / self.time_bucket_frames))
+                         * self.time_bucket_frames)
+            batch = np.zeros((b_bucket, bucket, feats[0].shape[1]),
+                             np.float32)
+            lens = np.zeros((b_bucket,), np.int32)
+            for i, f in enumerate(feats):
+                batch[i, :f.shape[0]] = f
+                lens[i] = f.shape[0]
         if self._rescorer is not None:
             enc_out, probs, olens = self._rescore_encode_fn(
                 self.params, jnp.asarray(batch), jnp.asarray(lens))

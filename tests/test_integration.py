@@ -142,6 +142,16 @@ def test_full_pipeline(workspace):
     assert len(odd_batch) == 3
     assert odd_batch[0]['text'] == odd_batch[2]['text']
 
+    # offline device-frontend: batched on-device fbank must transcribe
+    # identically to the host-featurized path on the same artifact
+    predictor_df = PPASRPredictor(configs=dict(workspace),
+                                  model_path=infer_dir,
+                                  use_device_frontend=True)
+    assert predictor_df._batch_featurize_fn is not None
+    df_batch = predictor_df.predict_batch([FIXTURE] * 2)
+    host_batch = predictor.predict_batch([FIXTURE] * 2)
+    assert df_batch[0]['text'] == host_batch[0]['text']
+
     # beam-search eval: the softmax-free logits fast path must produce
     # the same error rate as the probs path over the trained artifacts
     beam_cfg = dict(workspace)
