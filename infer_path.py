@@ -22,12 +22,15 @@ add_arg('real_time_demo', bool, False, 'simulate streaming recognition')
 add_arg('use_gpu', bool, True, 'use accelerator if available')
 add_arg('use_pun', bool, False, 'restore punctuation')
 add_arg('is_itn', bool, False, 'inverse text normalization')
+add_arg('use_device_frontend', bool, False,
+        'featurize on the accelerator (streaming windows + offline batches)')
 args = parser.parse_args()
 print_arguments(args=args)
 
 predictor = PPASRPredictor(configs=args.configs, model_path=args.model_path,
                            use_gpu=args.use_gpu, decoder=args.decoder,
-                           use_pun=args.use_pun)
+                           use_pun=args.use_pun,
+                           use_device_frontend=args.use_device_frontend)
 
 
 def predict_audio():

@@ -36,6 +36,8 @@ add_arg('model_path', str,
 add_arg('decoder', str, None, 'ctc_greedy | ctc_beam_search')
 add_arg('use_pun', bool, False, 'restore punctuation')
 add_arg('is_itn', bool, False, 'inverse text normalization')
+add_arg('use_device_frontend', bool, False,
+        'featurize on the accelerator (streaming windows + offline batches)')
 add_arg('save_audio_dir', str, 'dataset/upload_audio',
         'where uploaded/streamed audio is saved')
 add_arg('max_streams', int, 16,
@@ -191,7 +193,8 @@ if __name__ == '__main__':
     print_arguments(args=args)
     predictor = PPASRPredictor(configs=args.configs,
                                model_path=args.model_path,
-                               decoder=args.decoder, use_pun=args.use_pun)
+                               decoder=args.decoder, use_pun=args.use_pun,
+                               use_device_frontend=args.use_device_frontend)
     if predictor.streaming:
         from ppasr_tpu.serving import StreamingBatchEngine
         streaming_engine = StreamingBatchEngine(
