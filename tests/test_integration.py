@@ -152,6 +152,20 @@ def test_full_pipeline(workspace):
     host_batch = predictor.predict_batch([FIXTURE] * 2)
     assert df_batch[0]['text'] == host_batch[0]['text']
 
+    # streaming device frontend (fused Pallas fbank over raw windows) must
+    # agree with host-featurized streaming on the same audio
+    seg_df = AudioSegment.from_file(FIXTURE)
+    for i in range(0, min(len(seg_df.samples), 48000), 8000):
+        host_stream = predictor.predict_stream(
+            seg_df.samples[i:i + 8000], is_end=False)
+        df_stream = predictor_df.predict_stream(
+            seg_df.samples[i:i + 8000], is_end=False)
+    host_stream = predictor.predict_stream(b'', is_end=True)
+    df_stream = predictor_df.predict_stream(b'', is_end=True)
+    predictor.reset_stream()
+    predictor_df.reset_stream()
+    assert df_stream['text'] == host_stream['text']
+
     # beam-search eval: the softmax-free logits fast path must produce
     # the same error rate as the probs path over the trained artifacts
     beam_cfg = dict(workspace)
