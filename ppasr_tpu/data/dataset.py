@@ -153,8 +153,8 @@ class ASRDataset:
 
     def load_raw_batch(self, indices, label_bucket: int = 16, pad_to=None,
                        n_threads: int = 4):
-        """Native-batched raw collate: indices → (wavs [B, S] int16-scaled
-        f32, labels [B, U] i32 pad −1, wav_lens [B] i64, label_lens [B] i64).
+        """Native-batched raw collate: indices → (wavs [B, S] int16, labels
+        [B, U] i32 pad −1, wav_lens [B] i64, label_lens [B] i64).
 
         Runs the whole wav-read → augment → normalize chain in C++ threads
         (csrc/audio_pipeline.cpp) with per-item Python fallback; returns
@@ -195,7 +195,8 @@ class ASRDataset:
         for j, t in enumerate(texts):
             labels[j, :len(t)] = t
             label_lens[j] = len(t)
-        return wavs, labels, lens.astype(np.int64), label_lens
+        return (_wav_to_int16(wavs), labels, lens.astype(np.int64),
+                label_lens)
 
     @property
     def feature_dim(self):
@@ -264,15 +265,26 @@ def collate_fn(batch, time_bucket: int = 1, label_bucket: int = 1,
 RAW_SAMPLE_BUCKET = 64 * 160
 
 
+def _wav_to_int16(wavs: np.ndarray) -> np.ndarray:
+    """Quantize int16-scaled float waveforms to int16 for the host→device
+    transfer: halves the raw-batch bytes (the device-frontend train step
+    ships the audio every step, and the transfer link — PCIe, or a tunnel
+    in dev environments — is the constrained resource). Audio is 16-bit at
+    the source; the ≤0.5-LSB rounding this re-introduces after float
+    augmentation sits well below the frontend's train-time dither (±1.0 on
+    the same scale). The train step casts back to f32 on device."""
+    return np.clip(np.rint(wavs), -32768, 32767).astype(np.int16)
+
+
 def collate_raw_fn(batch, sample_bucket: int = RAW_SAMPLE_BUCKET,
                    label_bucket: int = 16, shuffle: bool = False,
                    pad_to=None):
     """List of (waveform [S], tokens [U]) → padded raw batch.
 
-    Returns (wavs [B, Smax] f32, labels [B, Umax] i32 pad −1, wav_lens [B]
-    i64 sample counts, label_lens [B] i64). ``pad_to=(samples, labels)``
-    raises the pad targets (same cross-rank-agreement contract as
-    collate_fn)."""
+    Returns (wavs [B, Smax] int16, labels [B, Umax] i32 pad −1, wav_lens
+    [B] i64 sample counts, label_lens [B] i64). ``pad_to=(samples,
+    labels)`` raises the pad targets (same cross-rank-agreement contract
+    as collate_fn)."""
     if shuffle:
         batch = list(batch)
         random.shuffle(batch)
@@ -295,4 +307,4 @@ def collate_raw_fn(batch, sample_bucket: int = RAW_SAMPLE_BUCKET,
         labels[i, :u] = tokens
         wav_lens[i] = s
         label_lens[i] = u
-    return wavs, labels, wav_lens, label_lens
+    return _wav_to_int16(wavs), labels, wav_lens, label_lens

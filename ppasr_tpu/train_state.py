@@ -41,7 +41,12 @@ def make_train_step(model, tx, accum_grad: int = 1, frontend=None):
 
     def loss_fn(params, batch, rngs):
         if frontend is not None and 'wav' in batch:
-            feat, feat_lens = frontend(batch['wav'], batch['wav_lens'],
+            # waveforms arrive int16 (half the host→device bytes of the
+            # every-step audio transfer); the frontend computes in f32
+            wav = batch['wav']
+            if not jnp.issubdtype(wav.dtype, jnp.floating):
+                wav = wav.astype(jnp.float32)
+            feat, feat_lens = frontend(wav, batch['wav_lens'],
                                        rngs.pop('frontend'),
                                        deterministic=False)
             speech = jax.lax.stop_gradient(feat)

@@ -1,0 +1,57 @@
+#!/bin/bash
+# Training watchdog for flaky remote-device links (failure detection on
+# top of the trainer's auto-resume, SURVEY.md §5.3).
+#
+# When the accelerator is reached through a network tunnel (dev pods,
+# remote PJRT), the connection can drop mid-run and the client then blocks
+# forever on a device value — no exception, no progress. The trainer
+# already checkpoints per epoch and auto-resumes from last_model
+# (ppasr_tpu/trainer.py), so the cheap, robust recovery is process-level:
+# start train.py, watch its log for progress, kill -9 on stall and
+# restart. Exits when train.py completes (rc=0) or MAX_RESTARTS is hit.
+#
+# Usage:
+#   tools/train_watchdog.sh <workdir> <config.yml> <logfile> [max_epoch] \
+#       [stall_seconds] [max_restarts] [extra train.py args...]
+set -u
+REPO_DIR="$(cd "$(dirname "$0")/.." && pwd)"
+WORKDIR=${1:?workdir}
+CONFIG=${2:?config yml}
+LOG=${3:?log file}
+MAX_EPOCH=${4:-50}
+# generous: the first program load through a tunnel can take minutes with
+# no log output, and a false kill costs a full program reload
+STALL_S=${5:-900}
+MAX_RESTARTS=${6:-40}
+shift $(( $# > 6 ? 6 : $# ))
+cd "$WORKDIR"
+for attempt in $(seq 1 "$MAX_RESTARTS"); do
+  echo "[watchdog] attempt $attempt: starting train.py" >> "$LOG.sup"
+  python "$REPO_DIR/train.py" --configs="$CONFIG" \
+    --overwrites="train_conf.max_epoch=$MAX_EPOCH" "$@" >> "$LOG" 2>&1 &
+  pid=$!
+  grace=1500
+  while true; do
+    sleep 30
+    if ! kill -0 "$pid" 2>/dev/null; then
+      wait "$pid"; rc=$?
+      echo "[watchdog] train.py exited rc=$rc" >> "$LOG.sup"
+      if [ "$rc" -eq 0 ]; then exit 0; fi
+      break  # crashed -> restart
+    fi
+    now=$(date +%s)
+    mtime=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
+    age=$((now - mtime))
+    # tighten the stall window once this attempt shows step progress
+    if tail -5 "$LOG" | grep -q "batch .*/"; then grace=$STALL_S; fi
+    if [ "$age" -gt "$grace" ]; then
+      echo "[watchdog] stall: no log output for ${age}s; killing $pid" \
+        >> "$LOG.sup"
+      kill -9 "$pid" 2>/dev/null
+      sleep 5
+      break
+    fi
+  done
+done
+echo "[watchdog] giving up after $MAX_RESTARTS attempts" >> "$LOG.sup"
+exit 1
