@@ -27,8 +27,10 @@ shift $(( $# > 6 ? 6 : $# ))
 cd "$WORKDIR"
 for attempt in $(seq 1 "$MAX_RESTARTS"); do
   echo "[watchdog] attempt $attempt: starting train.py" >> "$LOG.sup"
+  # OVERWRITES env var appends extra config overrides
   python "$REPO_DIR/train.py" --configs="$CONFIG" \
-    --overwrites="train_conf.max_epoch=$MAX_EPOCH" "$@" >> "$LOG" 2>&1 &
+    --overwrites="train_conf.max_epoch=$MAX_EPOCH${OVERWRITES:+,$OVERWRITES}" \
+    "$@" >> "$LOG" 2>&1 &
   pid=$!
   grace=1500
   while true; do
