@@ -175,12 +175,14 @@ class PPASRTrainer:
 
     # ------------------------------------------------------------- builders
 
-    def _build_dataset(self, train: bool, return_raw: bool = False):
+    def _build_dataset(self, train: bool, return_raw: bool = False,
+                       manifest_override: str = None):
         dataset_conf = self.configs.dataset_conf
         aug_conf = load_augmentation_config(self.augment_conf_path) \
             if (train and self.augment_conf_path) else None
-        manifest = dataset_conf.train_manifest if train \
-            else dataset_conf.test_manifest
+        manifest = manifest_override or (
+            dataset_conf.train_manifest if train
+            else dataset_conf.test_manifest)
         # NOTE: CMVN is baked into the model (GlobalCMVN from
         # mean_istd_path, as in reference conformer/model.py:40-47);
         # the dataset yields raw features.
@@ -361,6 +363,24 @@ class PPASRTrainer:
         test_dataset = self._build_dataset(train=False)
         vocab_size = train_dataset.vocab_size
         input_dim = train_dataset.feature_dim
+
+        # train-subset CER probe (train_conf.train_probe_size, default 64):
+        # a fixed, augmentation-free slice of the TRAIN manifest decoded
+        # after every epoch. Separates "can't fit the training data" from
+        # "doesn't generalize" — the test-set CER alone cannot (sum-CTC
+        # train loss is uninterpretable across batches of varying length).
+        probe_dataset = None
+        probe_size = int(train_conf.get('train_probe_size', 64))
+        if probe_size > 0 and \
+                dataset_conf.get('manifest_type', 'txt') == 'txt':
+            probe_dataset = self._build_dataset(
+                train=False,
+                manifest_override=dataset_conf.train_manifest)
+            # evenly spaced over the duration-sorted manifest so the probe
+            # spans short and long utterances
+            stride = max(1, len(probe_dataset.manifest) // probe_size)
+            probe_dataset.manifest = \
+                probe_dataset.manifest[::stride][:probe_size]
         frontend = None
         if device_frontend:
             from ppasr_tpu.ops.frontend import make_device_frontend
@@ -570,10 +590,20 @@ class PPASRTrainer:
                         f"{timedelta(seconds=int(time.time()-epoch_start))}")
             error_rate, test_loss = self.evaluate(
                 resume_model=None, state=state, model=model,
-                test_dataset=test_dataset)
+                test_dataset=test_dataset, sample_log_n=2)
             metric_name = self.configs.get('metrics_type', 'cer')
             logger.info(f"epoch {epoch} test {metric_name}={error_rate:.5f} "
                         f"loss={test_loss:.5f}")
+            if probe_dataset is not None:
+                train_err, train_probe_loss = self.evaluate(
+                    resume_model=None, state=state, model=model,
+                    test_dataset=probe_dataset, sample_log_n=2)
+                logger.info(f"epoch {epoch} train-probe "
+                            f"{metric_name}={train_err:.5f} "
+                            f"loss={train_probe_loss:.5f}")
+                if writer:
+                    writer.add_scalar(f'Train/{metric_name}', train_err,
+                                      int(state.step))
             if writer:
                 writer.add_scalar(f'Test/{metric_name}', error_rate,
                                   int(state.step))
@@ -649,9 +679,11 @@ class PPASRTrainer:
 
     def evaluate(self, resume_model: str = 'models/', state=None, model=None,
                  test_dataset=None, display_result: bool = False,
-                 max_batches: int = None):
+                 max_batches: int = None, sample_log_n: int = 0):
         """Greedy-decode the test set and compute cer/wer
-        (reference trainer.py:592-645). Returns (error_rate, loss)."""
+        (reference trainer.py:592-645). Returns (error_rate, loss).
+        ``sample_log_n``: log the first N ref/hyp pairs (per-epoch decode
+        sampling during training without display_result's full dump)."""
         dataset_conf = self.configs.dataset_conf
         if test_dataset is None:
             test_dataset = self._build_dataset(train=False)
@@ -755,10 +787,10 @@ class PPASRTrainer:
                 target = labels_to_string(labels[b][:int(lab_lens[b])],
                                           vocab)
                 e = error_fn(text, target)
-                errors.append(e)
-                if display_result:
+                if display_result or len(errors) < sample_log_n:
                     logger.info(f"ref: {target} | hyp: {text} | "
                                 f"{metrics_type}: {e:.4f}")
+                errors.append(e)
             if self.stop_eval:
                 break
         error_rate = float(np.mean(errors)) if errors else float('inf')
