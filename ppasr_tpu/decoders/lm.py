@@ -6,9 +6,11 @@ standard ARPA file (text or gzip) into backoff tables and answers
 Mandarin models in this stack are char-level, so tokens are scored directly;
 `<space>` maps to a word boundary for English models.
 
-(The reference's ``.klm`` binary format is KenLM-internal; export models to
-ARPA to use them here. A KenLM-linked C++ scorer for exact .klm parity is a
-planned native component — SURVEY.md §2.3 item 2.)
+KenLM ``.klm`` probing binaries (the format the reference auto-downloads,
+beam_search_decoder.py:10-25) are supported natively: ``load_scorer``
+dispatches them to :class:`~ppasr_tpu.decoders.klm.KlmScorer`, a clean-room
+reader of the probing format (SURVEY.md §2.3 item 2); everything else is
+parsed as ARPA here.
 """
 import gzip
 import math

@@ -19,20 +19,26 @@ WORKDIR=${1:?workdir}
 CONFIG=${2:?config yml}
 LOG=${3:?log file}
 MAX_EPOCH=${4:-50}
-# generous: the first program load through a tunnel can take minutes with
-# no log output, and a false kill costs a full program reload
+# post-progress stall window; the per-attempt startup grace below is never
+# tighter than this (first program load can take minutes with no output)
 STALL_S=${5:-900}
 MAX_RESTARTS=${6:-40}
 shift $(( $# > 6 ? 6 : $# ))
 cd "$WORKDIR"
+STARTUP_GRACE=$(( STALL_S > 1500 ? STALL_S : 1500 ))
 for attempt in $(seq 1 "$MAX_RESTARTS"); do
   echo "[watchdog] attempt $attempt: starting train.py" >> "$LOG.sup"
+  # progress detection must only see output from THIS attempt: the log is
+  # shared across attempts, so remember its size now and grep only the
+  # appended region (a previous attempt's step lines must not shrink the
+  # startup grace while the new process is still compiling/loading)
+  start_bytes=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
   # OVERWRITES env var appends extra config overrides
   python "$REPO_DIR/train.py" --configs="$CONFIG" \
     --overwrites="train_conf.max_epoch=$MAX_EPOCH${OVERWRITES:+,$OVERWRITES}" \
     "$@" >> "$LOG" 2>&1 &
   pid=$!
-  grace=1500
+  grace=$STARTUP_GRACE
   while true; do
     sleep 30
     if ! kill -0 "$pid" 2>/dev/null; then
@@ -44,13 +50,26 @@ for attempt in $(seq 1 "$MAX_RESTARTS"); do
     now=$(date +%s)
     mtime=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     age=$((now - mtime))
-    # tighten the stall window once this attempt shows step progress
-    if tail -5 "$LOG" | grep -q "batch .*/"; then grace=$STALL_S; fi
+    # tighten the stall window once THIS attempt shows step progress
+    if tail -c "+$((start_bytes + 1))" "$LOG" 2>/dev/null \
+        | grep -q "batch .*/"; then
+      grace=$STALL_S
+    fi
     if [ "$age" -gt "$grace" ]; then
       echo "[watchdog] stall: no log output for ${age}s; killing $pid" \
         >> "$LOG.sup"
       kill -9 "$pid" 2>/dev/null
-      sleep 5
+      # wait for the pid to actually die before launching the next attempt
+      # (a client wedged in device I/O can linger and hold the device; a
+      # restart racing it just burns an attempt on a device-acquire crash)
+      for _ in $(seq 1 24); do
+        kill -0 "$pid" 2>/dev/null || break
+        sleep 5
+      done
+      if kill -0 "$pid" 2>/dev/null; then
+        echo "[watchdog] pid $pid refused to die after 120s; retrying" \
+          >> "$LOG.sup"
+      fi
       break
     fi
   done
