@@ -167,10 +167,16 @@ def test_effcon_streaming_group3_approximate():
     corr = np.corrcoef(a, b)[0, 1]
     rel_rms = float(np.sqrt(np.mean((a - b) ** 2))
                     / np.sqrt(np.mean(b ** 2)))
-    # random untrained weights amplify the group-shift approximation;
-    # observed corr≈0.867, rel_rms≈0.515 here (trained models behave far
-    # better in practice). BOTH bounds pin the deviation MAGNITUDE: a
-    # regression that doubles the approximation error fails rel_rms even
-    # while correlation stays acceptable.
-    assert corr > 0.8, corr
-    assert rel_rms < 0.65, rel_rms
+    # Golden deviation fixture: this computation is fully deterministic
+    # (PRNGKey(0) params, seeded input), measured once on the CPU backend:
+    #   corr = 0.868407, rel_rms = 0.513017
+    # Pin the approximation MAGNITUDE to ±20% of the golden values (plus a
+    # small backend-difference allowance) so drift in the group-shift
+    # handling is caught in either direction — a "fix" that silently makes
+    # streaming exact would ALSO fail here and force re-measuring, which is
+    # the point: the deviation is reference behavior, not noise
+    # (/root/reference/ppasr/model_utils/efficient_conformer/encoder.py:342-383).
+    GOLDEN_CORR, GOLDEN_REL_RMS = 0.868407, 0.513017
+    assert abs(corr - GOLDEN_CORR) < 0.10, (corr, GOLDEN_CORR)
+    assert abs(rel_rms - GOLDEN_REL_RMS) < 0.20 * GOLDEN_REL_RMS + 0.02, \
+        (rel_rms, GOLDEN_REL_RMS)

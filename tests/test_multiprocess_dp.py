@@ -39,9 +39,12 @@ def _free_port():
     return port
 
 
-def _build_workspace(root, batch_size):
+def _build_workspace(root, batch_size, device_frontend=False):
     """Tiny deterministic corpus + config (all dropout off, offline model:
-    no train-time randomness, so 2-proc and 1-proc runs must agree)."""
+    no train-time randomness, so 2-proc and 1-proc runs must agree).
+    ``device_frontend``: raw-waveform loader + on-chip fbank (the
+    production training mode) — adds train-time dither, so raw-mode runs
+    are checked for cross-rank consistency rather than 1-proc parity."""
     from ppasr_tpu.data.audio import AudioSegment
     from ppasr_tpu.trainer import PPASRTrainer
     os.makedirs(os.path.join(root, 'dataset/audio'), exist_ok=True)
@@ -95,7 +98,9 @@ def _build_workspace(root, batch_size):
                            'scheduler_conf': {'warmup_steps': 10,
                                               'min_lr': 1e-5}},
         'train_conf': {'enable_amp': False, 'grad_clip': 5.0,
-                       'accum_grad': 1, 'max_epoch': 2, 'log_interval': 1},
+                       'accum_grad': 1, 'max_epoch': 2, 'log_interval': 1,
+                       'device_frontend': bool(device_frontend),
+                       'train_probe_size': 0},
         'use_model': 'conformer',
         'streaming': False,   # no dynamic-chunk randomness
         'decoder': 'ctc_greedy',
@@ -245,6 +250,32 @@ def test_two_process_dp_matches_single_process(mp_workspace, sp_workspace):
         'model.state'), encoding='utf-8'))
     assert state['last_epoch'] == 3
     assert state['step'] == mp_resume[0]['final_step']
+
+
+@pytest.fixture(scope='module')
+def mp_raw_workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('mp_dp_raw'))
+    _build_workspace(root, batch_size=4, device_frontend=True)
+    return root
+
+
+def test_two_process_dp_device_frontend(mp_raw_workspace):
+    """The PRODUCTION training mode (train_conf.device_frontend: raw int16
+    waveforms + on-chip fbank) across real coordinated processes: exercises
+    the sample-domain cross-rank pad-agreement hints and the raw global
+    batch assembly that the single-process DP8 test
+    (test_sharded_training.py) cannot. Dither makes bitwise 1-proc parity
+    meaningless here; the contract checked is that both ranks complete the
+    run, agree on the final checkpoint, and produce a finite loss."""
+    reports = _run_group(mp_raw_workspace, num_procs=2, max_epoch=1,
+                         local_devices=2)
+    for i, r in reports.items():
+        assert r['process_count'] == 2
+        assert r['global_devices'] == 4
+        assert np.isfinite(r['eval_loss'])
+    # both ranks evaluate the same rank-0-written checkpoint
+    assert abs(reports[0]['eval_loss'] - reports[1]['eval_loss']) < 1e-6
+    assert reports[0]['final_step'] == reports[1]['final_step'] > 0
 
 
 def jax_flat(tree, prefix=''):
