@@ -38,6 +38,8 @@ class MultiHeadedAttention(nn.Module):
     # Squeezeformer scale-aware init: all projections ±n_feat^-0.5
     # (reference squeezeformer/attention.py init_weights) — post-LN needs it
     init_weights: bool = False
+    # depth-scaled residual init (base.scaled_kaiming) on linear_out
+    out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -52,7 +54,14 @@ class MultiHeadedAttention(nn.Module):
         self.linear_q = nn.Dense(self.n_feat, **d)
         self.linear_k = nn.Dense(self.n_feat, **d)
         self.linear_v = nn.Dense(self.n_feat, **d)
-        self.linear_out = nn.Dense(self.n_feat, **d)
+        if self.init_weights or self.out_init_scale == 1.0:
+            self.linear_out = nn.Dense(self.n_feat, **d)
+        else:
+            from ppasr_tpu.models.base import scaled_kaiming
+            self.linear_out = nn.Dense(
+                self.n_feat,
+                kernel_init=scaled_kaiming(self.out_init_scale),
+                dtype=self.dtype)
         self.dropout = Dropout(self.dropout_rate)
         if self.rel_pos:
             self.linear_pos = nn.Dense(self.n_feat, use_bias=self.pos_bias,

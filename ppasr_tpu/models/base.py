@@ -12,6 +12,25 @@ kaiming_uniform = nn.initializers.variance_scaling(
     2.0, "fan_in", "uniform")
 
 
+def scaled_kaiming(scale: float):
+    """KaimingUniform with the element std multiplied by ``scale``.
+
+    Used for depth-scaled residual initialization: the OUTPUT projection of
+    every residual branch is initialized with scale = (2·num_blocks)^-1/2
+    so a fresh deep encoder behaves like a shallow one. Without it a 12-
+    block conformer needs ~5-10x more updates than a 4-block one before
+    CTC escapes the all-blank optimum (measured with tools/probe_overfit:
+    128x4 escapes at ~300 updates, 128x12 and 256x12 are still blank at
+    900); with it deep stacks escape like shallow ones. Training-dynamics
+    fix in the spirit of DeepNet/GPT-2 residual scaling — final converged
+    quality is unchanged, reference parity is behavioral (the reference's
+    paddle KaimingUniform everywhere corresponds to scale=1.0)."""
+    if scale == 1.0:
+        return kaiming_uniform
+    return nn.initializers.variance_scaling(
+        2.0 * scale * scale, "fan_in", "uniform")
+
+
 def symmetric_uniform(scale: float):
     """Uniform(−scale, scale) initializer — the Squeezeformer paper's
     scale-aware init (reference squeezeformer/*.py init_weights), required

@@ -68,6 +68,13 @@ class ConformerEncoderLayer(nn.Module):
     causal: bool = False
     activation: Any = nn.swish
     rel_pos: bool = True
+    # depth-scaled residual init: every residual branch's output projection
+    # initialized at scale (2*num_blocks)^-1/2 (base.scaled_kaiming) so a
+    # fresh deep encoder optimizes like a shallow one (CTC blank-escape at
+    # 12 blocks goes from >900 to ~300 updates in tools/probe_overfit runs)
+    out_init_scale: float = 1.0
+    final_norm: bool = True    # block-final LayerNorm (conformer paper);
+    #                            disable to diagnose main-path norm effects
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -83,6 +90,7 @@ class ConformerEncoderLayer(nn.Module):
                 if self.normalize_before else x
             y = PositionwiseFeedForward(self.size, self.linear_units,
                                         self.dropout_rate, self.activation,
+                                        out_init_scale=self.out_init_scale,
                                         dtype=self.dtype,
                                         name='feed_forward_macaron')(
                 y, deterministic)
@@ -97,7 +105,8 @@ class ConformerEncoderLayer(nn.Module):
             if self.normalize_before else x
         y_att, new_kv = MultiHeadedAttention(
             self.attention_heads, self.size, self.attention_dropout_rate,
-            rel_pos=self.rel_pos, dtype=self.dtype, name='self_attn')(
+            rel_pos=self.rel_pos, out_init_scale=self.out_init_scale,
+            dtype=self.dtype, name='self_attn')(
             y, y, y, mask=mask, pos_emb=pos_emb, kv_cache=kv_cache,
             deterministic=deterministic)
         x = residual + dropout(y_att, deterministic=deterministic)
@@ -114,7 +123,8 @@ class ConformerEncoderLayer(nn.Module):
                 if self.normalize_before else x
             y, new_cnn_cache = ConvolutionModule(
                 self.size, self.cnn_module_kernel, self.activation,
-                self.cnn_module_norm, self.causal, dtype=self.dtype,
+                self.cnn_module_norm, self.causal,
+                out_init_scale=self.out_init_scale, dtype=self.dtype,
                 name='conv_module')(y, mask_pad, cnn_cache, deterministic)
             x = residual + dropout(y, deterministic=deterministic)
             if not self.normalize_before:
@@ -127,13 +137,14 @@ class ConformerEncoderLayer(nn.Module):
             if self.normalize_before else x
         y = PositionwiseFeedForward(self.size, self.linear_units,
                                     self.dropout_rate, self.activation,
+                                    out_init_scale=self.out_init_scale,
                                     dtype=self.dtype, name='feed_forward')(
             y, deterministic)
         x = residual + ff_scale * dropout(y, deterministic=deterministic)
         if not self.normalize_before:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm_ff')(x)
 
-        if self.use_cnn_module:
+        if self.use_cnn_module and self.final_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name='norm_final')(x)
         return x, new_kv, new_cnn_cache
@@ -163,6 +174,14 @@ class ConformerEncoder(nn.Module):
     max_len: int = 5000
     cmvn_mean: Optional[tuple] = None
     cmvn_istd: Optional[tuple] = None
+    # depth-scaled residual init (on by default): residual-branch output
+    # projections start at (2·num_blocks)^-1/2 of the reference Kaiming
+    # scale. Pure training-dynamics fix — without it a fresh 12-block
+    # encoder needs ~5-10x more updates than a 4-block one before CTC
+    # leaves the all-blank optimum (see base.scaled_kaiming). Checkpoints
+    # are unaffected (init only matters for fresh params).
+    depth_scaled_init: bool = True
+    block_final_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     remat: bool = False   # checkpoint each block: recompute in bwd, trading
     #                       ~1/3 more FLOPs for O(layers) less activation HBM
@@ -202,6 +221,9 @@ class ConformerEncoder(nn.Module):
             causal=self.causal,
             activation=get_activation(self.activation_type),
             rel_pos=(self.pos_enc_layer_type == 'rel_pos'),
+            out_init_scale=(2.0 * self.num_blocks) ** -0.5
+            if self.depth_scaled_init else 1.0,
+            final_norm=self.block_final_norm,
             dtype=self.dtype) for _ in range(self.num_blocks)]
         if self.normalize_before:
             self.after_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -223,9 +245,20 @@ class ConformerEncoder(nn.Module):
     def _apply_pos(self, xs, pos_emb):
         if self.pos_enc_layer_type == 'no_pos':
             return xs, None
-        xs = xs * jnp.asarray(np.sqrt(self.output_size), self.dtype)
         if self.pos_enc_layer_type == 'abs_pos':
+            # ×sqrt(d) balances the additive positional embedding
+            # (reference embedding.py PositionalEncoding xscale)
+            xs = xs * jnp.asarray(np.sqrt(self.output_size), self.dtype)
             xs = xs + pos_emb[:, -xs.shape[1]:]
+        # rel_pos: NO xscale. The reference keeps the legacy ×sqrt(d) even
+        # though the rel-pos table never adds into the stream, which blows
+        # the residual stream to std≈57 at entry; each block's norm_final
+        # then renormalizes to 1, creating a backward cliff at block 0
+        # (measured 10-20× param-grad starvation at init, and a 12-block
+        # encoder that needs >3000 updates to leave the CTC blank optimum
+        # while 4 blocks need 300). Dropping the pointless scale equalizes
+        # gradient flow across depth; every sublayer input is LayerNormed,
+        # so nothing else observes the absolute stream scale.
         return xs, pos_emb
 
     def __call__(self, xs, xs_lens, decoding_chunk_size: int = 0,

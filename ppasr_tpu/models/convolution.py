@@ -29,6 +29,8 @@ class ConvolutionModule(nn.Module):
     # Squeezeformer scale-aware init: pointwise ±channels^-0.5, depthwise
     # ±kernel^-0.5 (reference convolution.py init_weights)
     init_weights: bool = False
+    # depth-scaled residual init (base.scaled_kaiming) on pointwise_conv2
+    out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -70,8 +72,12 @@ class ConvolutionModule(nn.Module):
             dw_init = symmetric_uniform(self.kernel_size ** -0.5)
             pw = dict(kernel_init=pw_init, bias_init=pw_init)
             dw = dict(kernel_init=dw_init, bias_init=dw_init)
+            pw2 = pw
         else:
+            from ppasr_tpu.models.base import scaled_kaiming
             pw = dw = dict(kernel_init=kaiming_uniform)
+            # depth-scaled residual init on the branch output projection
+            pw2 = dict(kernel_init=scaled_kaiming(self.out_init_scale))
 
         # pointwise 1 + GLU (runs over the padded frames, matching the
         # reference which pads the raw input before pointwise_conv1)
@@ -92,7 +98,7 @@ class ConvolutionModule(nn.Module):
                              name='norm')(y)
         y = self.activation(y)
         y = nn.Dense(self.channels, dtype=self.dtype,
-                     name='pointwise_conv2', **pw)(y)
+                     name='pointwise_conv2', **pw2)(y)
 
         if mask_pad is not None:
             y = jnp.where(mask_pad.transpose(0, 2, 1), y, 0.0)

@@ -177,6 +177,7 @@ class EffConLayer(nn.Module):
     cnn_module_norm: str = 'layer_norm'
     causal: bool = False
     activation: Any = nn.swish
+    final_norm: bool = True   # block-final LayerNorm; see conformer_encoder
     grouped: bool = False
     group_size: int = 3
     stride: int = 1
@@ -260,7 +261,9 @@ class EffConLayer(nn.Module):
         x = residual + ff_scale * dropout(y, deterministic=deterministic)
         if not self.normalize_before:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm_ff')(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm_final')(x)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name='norm_final')(x)
         return x, new_kv, new_cnn
 
 
@@ -356,6 +359,10 @@ class EfficientConformerEncoder(nn.Module):
     max_len: int = 5000
     cmvn_mean: Optional[tuple] = None
     cmvn_istd: Optional[tuple] = None
+    # per-block main-path LayerNorm: keeping the reference function class by
+    # default; campaign/zoo configs disable it (see conformer_encoder
+    # block_final_norm — at 12 blocks it delays CTC blank-escape ~10x)
+    block_final_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -431,6 +438,7 @@ class EfficientConformerEncoder(nn.Module):
                 grouped=(i in group_idx),
                 group_size=self.group_size,
                 stride=strides[stride_idx.index(i)] if is_stride else 1,
+                final_norm=self.block_final_norm,
                 dtype=self.dtype))
             if is_stride:
                 seg += 1

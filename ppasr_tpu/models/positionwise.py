@@ -3,7 +3,8 @@ ppasr/model_utils/conformer/positionwise.py:7-39)."""
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ppasr_tpu.models.base import Dropout, kaiming_uniform, symmetric_uniform
+from ppasr_tpu.models.base import (Dropout, kaiming_uniform, scaled_kaiming,
+                                   symmetric_uniform)
 from ppasr_tpu.parallel.mesh import shard_activation
 
 
@@ -18,6 +19,8 @@ class PositionwiseFeedForward(nn.Module):
     # Squeezeformer scale-aware init: w_1 ±idim^-0.5, w_2 ±hidden^-0.5
     # (reference positionwise.py init_weights) — needed for post-LN
     init_weights: bool = False
+    # depth-scaled residual init (base.scaled_kaiming) on the output proj
+    out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -34,7 +37,8 @@ class PositionwiseFeedForward(nn.Module):
             w1 = dict(kernel_init=w1_init, bias_init=w1_init)
             w2 = dict(kernel_init=w2_init, bias_init=w2_init)
         else:
-            w1 = w2 = dict(kernel_init=kaiming_uniform)
+            w1 = dict(kernel_init=kaiming_uniform)
+            w2 = dict(kernel_init=scaled_kaiming(self.out_init_scale))
         x = nn.Dense(self.hidden_units, dtype=self.dtype, name='w_1',
                      **w1)(x)
         # FFN hidden sharded over 'model' under TP (column→row pairing)

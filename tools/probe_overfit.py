@@ -51,10 +51,17 @@ def main():
     add_arg('warmup_steps', int, 100, 'LR warmup steps')
     add_arg('num_blocks', int, 4, 'encoder blocks')
     add_arg('output_size', int, 128, 'encoder width')
+    add_arg('linear_units', int, 0, 'encoder FFN width (0 = 4x output)')
+    add_arg('dec_blocks', int, 1, 'decoder blocks (and r_blocks)')
+    add_arg('encoder_opts', str, '', 'extra encoder_conf JSON overrides')
     add_arg('augment_conf', str, '', 'augmentation JSON ("" = off)')
     add_arg('device_frontend', bool, False, 'raw-waveform device frontend')
     add_arg('dropout', float, 0.1, 'dropout rate')
     add_arg('amp', bool, False, 'bfloat16 activations (trainer enable_amp)')
+    add_arg('accum_grad', int, 1, 'gradient accumulation (trainer parity)')
+    add_arg('trainer_opt', bool, False, 'use the production optimizer '
+            'stack (build_optimizer: WarmupLR decay, weight decay, clip)')
+    add_arg('rbg', bool, False, 'rbg step keys (trainer parity)')
     args = parser.parse_args()
     print_arguments(args=args)
 
@@ -165,24 +172,29 @@ def main():
         heldout = (jnp.asarray(h_in), jnp.asarray(h_lens, jnp.int32),
                    h_texts)
 
+    enc_conf = {'output_size': args.output_size,
+                'attention_heads': 4,
+                'linear_units': args.linear_units
+                or args.output_size * 4,
+                'num_blocks': args.num_blocks,
+                'dropout_rate': args.dropout,
+                'positional_dropout_rate': args.dropout,
+                'attention_dropout_rate': args.dropout,
+                'cnn_module_kernel': 15}
+    if args.encoder_opts:
+        enc_conf.update(json.loads(args.encoder_opts))
     model = build_model(
         args.use_model, 80, dataset.vocab_size, streaming=args.streaming,
-        encoder_conf={'output_size': args.output_size,
-                      'attention_heads': 4,
-                      'linear_units': args.output_size * 4,
-                      'num_blocks': args.num_blocks,
-                      'dropout_rate': args.dropout,
-                      'positional_dropout_rate': args.dropout,
-                      'attention_dropout_rate': args.dropout,
-                      'cnn_module_kernel': 15}
+        encoder_conf=enc_conf
         if args.use_model != 'deepspeech2' else
         {'num_rnn_layers': 3, 'rnn_size': args.output_size},
         decoder_conf={} if args.ctc_weight >= 1.0 or
         args.use_model == 'deepspeech2' else
         {'attention_heads': 4, 'linear_units': args.output_size * 4,
-         'num_blocks': 1, 'r_num_blocks': 1},
+         'num_blocks': args.dec_blocks, 'r_num_blocks': args.dec_blocks},
         model_conf={} if args.use_model == 'deepspeech2' else
-        {'ctc_weight': args.ctc_weight},
+        {'ctc_weight': args.ctc_weight, 'lsm_weight': 0.1,
+         'reverse_weight': 0.3 if args.dec_blocks > 1 else 0.0},
         mean_istd_path=args.mean_istd,
         dtype=__import__('jax.numpy', fromlist=['bfloat16']).bfloat16
         if args.amp else __import__('jax.numpy', fromlist=['float32']).float32)
@@ -195,13 +207,34 @@ def main():
         b0.get('speech_lens', probe_lens),
         b0['text'], b0['text_lens'],
         deterministic=False)
-    schedule = optax.join_schedules(
-        [optax.linear_schedule(0.0, args.learning_rate, args.warmup_steps),
-         optax.constant_schedule(args.learning_rate)], [args.warmup_steps])
-    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(schedule))
+    if args.trainer_opt:
+        from ppasr_tpu.optimizer.factory import build_optimizer
+        tx, _ = build_optimizer(
+            {'optimizer': 'Adam', 'weight_decay': 1e-6,
+             'learning_rate': args.learning_rate,
+             'scheduler': 'WarmupLR',
+             'scheduler_conf': {'warmup_steps': args.warmup_steps,
+                                'min_lr': 1e-5}}, grad_clip=5.0)
+    else:
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, args.learning_rate,
+                                   args.warmup_steps),
+             optax.constant_schedule(args.learning_rate)],
+            [args.warmup_steps])
+        tx = optax.chain(optax.clip_by_global_norm(5.0),
+                         optax.adam(schedule))
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params))
-    step_fn = jax.jit(make_train_step(model, tx, accum_grad=1,
+    if args.accum_grad > 1:
+        # regroup [1, B, ...] microbatches into [accum, B/accum, ...]
+        def regroup(b):
+            return jax.tree.map(
+                lambda x: x.reshape(args.accum_grad,
+                                    x.shape[1] // args.accum_grad,
+                                    *x.shape[2:]), b)
+        batches = [regroup(b) for b in batches]
+    step_fn = jax.jit(make_train_step(model, tx,
+                                      accum_grad=args.accum_grad,
                                       frontend=frontend))
 
     @jax.jit
@@ -219,10 +252,15 @@ def main():
     def probe(params):
         return decode_cer(params, probe_speech, probe_lens, texts)
 
+    run_rng = jax.random.key(1000, impl='rbg') if args.rbg else None
     t0 = time.time()
     for step in range(1, args.steps + 1):
         batch = batches[(step - 1) % len(batches)]
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
+        if run_rng is not None:
+            run_rng, step_rng = jax.random.split(run_rng)
+        else:
+            step_rng = jax.random.PRNGKey(step)
+        state, metrics = step_fn(state, batch, step_rng)
         if step % args.probe_every == 0 or step == args.steps:
             train_cer, results = probe(state.params)
             h_msg = ''
