@@ -474,10 +474,16 @@ def _beam_step(state: BeamState, lp_blank, cand, cand_lp, top_n, beam_size,
 
     new_prefixes = state.prefixes[sel_src]
     ins_pos = jnp.clip(state.lengths[sel_src], 0, u_max - 1)
-    ext_prefixes = jax.vmap(
-        lambda row_, pos_, ch_: row_.at[pos_].set(ch_))(
-        new_prefixes, ins_pos, jnp.where(sel_is_ext, sel_char, 0))
-    new_prefixes = jnp.where(sel_is_ext[:, None], ext_prefixes, new_prefixes)
+    # masked one-hot write instead of a vmapped .at[pos].set scatter: the
+    # nested-vmap scatter (beams inside a vmapped lane inside lax.scan)
+    # miscompiles above ~24 lanes at beam 300 on BOTH the TPU and CPU
+    # backends — prefix writes for lanes ≥ 1 are silently dropped while
+    # scores/lengths stay correct (reproduced 2026-08: B=24 ok, B=32
+    # corrupt, bit-identical inputs). The where-form is also the faster
+    # lowering on TPU (vectorized select, no scatter).
+    write = (jnp.arange(u_max, dtype=jnp.int32)[None, :]
+             == ins_pos[:, None]) & sel_is_ext[:, None]
+    new_prefixes = jnp.where(write, sel_char[:, None], new_prefixes)
     new_lengths = state.lengths[sel_src] + sel_is_ext.astype(jnp.int32)
     new_last = jnp.where(sel_is_ext, sel_char, state.last[sel_src])
     new_hashes = pool_hash[sel]

@@ -383,3 +383,38 @@ def test_chd_build_scale_and_placement():
     qs = _fmix32_np(q2 ^ d[q1 & np.uint32(len(d) - 1)]) & np.uint32(m - 1)
     false_pos = np.mean(fp[qs] == (q2 | np.uint32(1)))
     assert false_pos < 1e-3
+
+
+def test_wide_beam_large_batch_prefix_writes():
+    """Regression: at B≥32 lanes × beam 300, the former vmapped
+    .at[pos].set prefix write inside the scan silently dropped all writes
+    for lanes ≥ 1 (scores/lengths stayed correct, hypotheses came back as
+    blank-id zeros) on both the CPU and TPU backends. The masked one-hot
+    write must produce the same text for every lane regardless of batch
+    size."""
+    from ppasr_tpu.decoders.beam_search_jax import JaxBeamSearchDecoder
+    rng = np.random.default_rng(11)
+    bsz, t_max, vocab_n = 32, 10, 60
+    vocab = ['<blank>'] + [chr(ord('a') + i % 26) + str(i // 26)
+                           for i in range(vocab_n - 1)]
+    # peaky posteriors with a distinct 3-token answer per lane
+    logits = rng.standard_normal((bsz, t_max, vocab_n)).astype(np.float32)
+    answers = []
+    for b in range(bsz):
+        toks = 1 + (rng.permutation(vocab_n - 1)[:3])
+        answers.append(''.join(vocab[t] for t in toks))
+        for j, t in enumerate(toks):
+            logits[b, 2 * j, t] += 14.0       # token frame
+            logits[b, 2 * j + 1, 0] += 14.0   # blank separator
+        logits[b, 6:, 0] += 14.0
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    lens = np.full((bsz,), t_max, np.int32)
+    dec = JaxBeamSearchDecoder(vocab, beam_size=300)
+    res = dec.decode_batch(probs, lens)
+    hyps = [h for s, h in res]
+    assert hyps == answers, list(zip(hyps, answers))[:4]
+    # the same inputs through a 8-lane slice must agree lane-by-lane
+    dec8 = JaxBeamSearchDecoder(vocab, beam_size=300)
+    res8 = dec8.decode_batch(probs[:8], lens[:8])
+    assert [h for s, h in res8] == hyps[:8]
