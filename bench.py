@@ -59,7 +59,8 @@ def _spread(values):
 def emit(metric, values, unit, vs_baseline=True, out=sys.stderr):
     med, spread = _spread(values) if isinstance(values, (list, tuple)) \
         else (values, None)
-    rec = {"metric": metric, "value": round(med, 2), "unit": unit,
+    rec = {"metric": metric, "value": round(med, 2 if abs(med) >= 1 else 5),
+           "unit": unit,
            "vs_baseline": round(med / BASELINE_AUDIO_S_PER_S, 3)
            if vs_baseline else None}
     if spread is not None:
