@@ -214,8 +214,9 @@ def test_two_process_dp_matches_single_process(mp_workspace, sp_workspace):
     assert sp['process_count'] == 1
 
     # same global batches + no train-time randomness → same optimizer
-    # trajectory; eval loss is deterministic given the final params
-    assert abs(mp_reports[0]['eval_loss'] - sp['eval_loss']) < 1e-3, \
+    # trajectory up to cross-topology reduction order (different psum
+    # grouping); eval loss relative agreement ~1e-4 on a sum-CTC loss ~26
+    assert abs(mp_reports[0]['eval_loss'] - sp['eval_loss']) < 4e-3, \
         (mp_reports[0]['eval_loss'], sp['eval_loss'])
     # both ranks loaded the same checkpoint for eval
     assert abs(mp_reports[0]['eval_loss'] - mp_reports[1]['eval_loss']) \
