@@ -627,18 +627,30 @@ def main():
     except Exception as e:
         print(f"trained-checkpoint bench unavailable: {e}", file=sys.stderr)
     if trained is not None:
-        eval_tp = bench_eval_pipeline_trained(trained)
-        emit("eval_pipeline_throughput_trained", eval_tp,
-             "audio-seconds/s/chip (trained ckpt, real test utterances, "
-             "encode+beam+texts, B=64)")
+        # the checkpoint can outlive its corpus (the committed model dir
+        # survives environment resets; the test wavs are regenerated by
+        # tools/setup_campaign_workspace.sh) — the CER from model.state
+        # must still be emitted when the wav-dependent throughput bench
+        # cannot run, and neither failure may kill the canonical record
+        try:
+            eval_tp = bench_eval_pipeline_trained(trained)
+            emit("eval_pipeline_throughput_trained", eval_tp,
+                 "audio-seconds/s/chip (trained ckpt, real test utterances, "
+                 "encode+beam+texts, B=64)")
+        except Exception as e:
+            print(f"trained eval-pipeline bench unavailable "
+                  f"(corpus not regenerated?): {e}", file=sys.stderr)
         model_dir, _ = find_trained_model_dir()
-        state_path = os.path.join(model_dir, 'best_model', 'model.state')
-        if os.path.exists(state_path):
-            meta = json.load(open(state_path, encoding='utf-8'))
-            if meta.get('test_cer') is not None:
-                emit("cer_synth_heldout", meta['test_cer'],
-                     "CER on disjoint synthetic test sentences (greedy; "
-                     "see docs/accuracy_campaign.md)", vs_baseline=False)
+        for name in ('best_model', 'last_model'):
+            state_path = os.path.join(model_dir, name, 'model.state')
+            if os.path.exists(state_path):
+                meta = json.load(open(state_path, encoding='utf-8'))
+                if meta.get('test_cer') is not None:
+                    emit("cer_synth_heldout", meta['test_cer'],
+                         f"CER on disjoint synthetic test sentences (greedy, "
+                         f"{name}; see docs/accuracy_campaign.md)",
+                         vs_baseline=False)
+                    break
     else:
         eval_tp = bench_eval_pipeline(model, params)
         emit("eval_pipeline_throughput", eval_tp,
