@@ -267,24 +267,49 @@ def bench_train_step_device_frontend(params, iters=5, bsz=32, frames=1000):
 
 
 def find_trained_model_dir():
-    """Locate the trained flagship checkpoint dir. Search order:
-    1. $PPASR_BENCH_MODEL (points at the model dir, e.g.
-       /root/work/models/conformer_streaming_fbank — the committed
-       training scripts export it);
-    2. models/conformer_streaming_fbank relative to cwd;
-    3. the standing training workspace /root/work/models/….
-    Returns (model_dir, ckpt_dir) or (None, None)."""
+    """Locate the trained flagship checkpoint dir. Candidates:
+    $PPASR_BENCH_MODEL, models/conformer_streaming_fbank relative to cwd
+    (the committed checkpoint), and the standing training workspace
+    /root/work/models/…. ALL candidates are inspected and the one whose
+    model.state records the LOWEST test_cer wins (ties → earlier in the
+    list): a stale committed snapshot must never shadow a better
+    workspace checkpoint (VERDICT r4: path-order discovery put an
+    epoch-1 CER-0.345 snapshot into the canonical record while the
+    converged CER-0.006 model sat one candidate later). The chosen
+    checkpoint's path/epoch/CER are printed to stderr so every BENCH
+    record says what it measured. Returns (model_dir, ckpt_dir) or
+    (None, None)."""
     candidates = []
     env = os.environ.get('PPASR_BENCH_MODEL')
     if env:
         candidates.append(env)
     candidates += [os.path.join('models', 'conformer_streaming_fbank'),
                    '/root/work/models/conformer_streaming_fbank']
-    for c in candidates:
+    found = []  # (test_cer, order, model_dir, ckpt_dir, meta)
+    for order, c in enumerate(candidates):
         for name in ('best_model', 'last_model'):
-            if os.path.exists(os.path.join(c, name, 'model.msgpack')):
-                return c, os.path.join(c, name)
-    return None, None
+            ckpt = os.path.join(c, name)
+            if not os.path.exists(os.path.join(ckpt, 'model.msgpack')):
+                continue
+            meta = {}
+            try:
+                with open(os.path.join(ckpt, 'model.state'),
+                          encoding='utf-8') as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                pass
+            cer = meta.get('test_cer')
+            found.append((cer if cer is not None else float('inf'),
+                          order, c, ckpt, meta))
+            break  # within one model dir, best_model outranks last_model
+    if not found:
+        return None, None
+    found.sort(key=lambda t: (t[0], t[1]))
+    cer, _, model_dir, ckpt_dir, meta = found[0]
+    print(f"trained checkpoint: {ckpt_dir} "
+          f"(epoch {meta.get('last_epoch')}, test_cer {meta.get('test_cer')}"
+          f", step {meta.get('step')})", file=sys.stderr)
+    return model_dir, ckpt_dir
 
 
 def load_trained_flagship():
@@ -640,17 +665,17 @@ def main():
         except Exception as e:
             print(f"trained eval-pipeline bench unavailable "
                   f"(corpus not regenerated?): {e}", file=sys.stderr)
-        model_dir, _ = find_trained_model_dir()
-        for name in ('best_model', 'last_model'):
-            state_path = os.path.join(model_dir, name, 'model.state')
-            if os.path.exists(state_path):
-                meta = json.load(open(state_path, encoding='utf-8'))
-                if meta.get('test_cer') is not None:
-                    emit("cer_synth_heldout", meta['test_cer'],
-                         f"CER on disjoint synthetic test sentences (greedy, "
-                         f"{name}; see docs/accuracy_campaign.md)",
-                         vs_baseline=False)
-                    break
+        _, ckpt_dir = find_trained_model_dir()
+        state_path = os.path.join(ckpt_dir, 'model.state')
+        if os.path.exists(state_path):
+            meta = json.load(open(state_path, encoding='utf-8'))
+            if meta.get('test_cer') is not None:
+                emit("cer_synth_heldout", meta['test_cer'],
+                     f"CER on disjoint synthetic test sentences (greedy, "
+                     f"{os.path.basename(ckpt_dir)} epoch "
+                     f"{meta.get('last_epoch')}; see "
+                     f"docs/accuracy_campaign.md)",
+                     vs_baseline=False)
     else:
         eval_tp = bench_eval_pipeline(model, params)
         emit("eval_pipeline_throughput", eval_tp,

@@ -13,8 +13,37 @@
 # Usage:
 #   tools/train_watchdog.sh <workdir> <config.yml> <logfile> [max_epoch] \
 #       [stall_seconds] [max_restarts] [extra train.py args...]
+#   tools/train_watchdog.sh stop <workdir>
+#
+# A pidfile (<workdir>/watchdog.pid: "<watchdog_pid> <trainer_pid>") is
+# kept current so `stop` can quiesce the chip by EXACT pid — watchdog
+# first (so it cannot restart the trainer), then the trainer. Used by the
+# round-end quiesce protocol: no training job may own the device while
+# the driver bench runs.
 set -u
 REPO_DIR="$(cd "$(dirname "$0")/.." && pwd)"
+if [ "${1:-}" = "stop" ]; then
+  WORKDIR=${2:?workdir}
+  PIDFILE="$WORKDIR/watchdog.pid"
+  if [ ! -f "$PIDFILE" ]; then
+    echo "[watchdog] no pidfile at $PIDFILE — nothing to stop"
+    exit 0
+  fi
+  read -r wd_pid tr_pid < "$PIDFILE" || true
+  for p in ${wd_pid:-} ${tr_pid:-}; do
+    if kill -0 "$p" 2>/dev/null; then
+      kill "$p" 2>/dev/null
+      for _ in $(seq 1 12); do
+        kill -0 "$p" 2>/dev/null || break
+        sleep 5
+      done
+      kill -0 "$p" 2>/dev/null && kill -9 "$p" 2>/dev/null
+      echo "[watchdog] stopped pid $p"
+    fi
+  done
+  rm -f "$PIDFILE"
+  exit 0
+fi
 WORKDIR=${1:?workdir}
 CONFIG=${2:?config yml}
 LOG=${3:?log file}
@@ -25,6 +54,8 @@ STALL_S=${5:-900}
 MAX_RESTARTS=${6:-40}
 shift $(( $# > 6 ? 6 : $# ))
 cd "$WORKDIR"
+PIDFILE="$WORKDIR/watchdog.pid"
+trap 'rm -f "$PIDFILE"' EXIT
 STARTUP_GRACE=$(( STALL_S > 1500 ? STALL_S : 1500 ))
 for attempt in $(seq 1 "$MAX_RESTARTS"); do
   echo "[watchdog] attempt $attempt: starting train.py" >> "$LOG.sup"
@@ -38,6 +69,7 @@ for attempt in $(seq 1 "$MAX_RESTARTS"); do
     --overwrites="train_conf.max_epoch=$MAX_EPOCH${OVERWRITES:+,$OVERWRITES}" \
     "$@" >> "$LOG" 2>&1 &
   pid=$!
+  echo "$$ $pid" > "$PIDFILE"
   grace=$STARTUP_GRACE
   while true; do
     sleep 30
