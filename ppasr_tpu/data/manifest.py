@@ -26,9 +26,29 @@ except ImportError:  # zhconv not in this image; pass-through
         return text
 
 
+_WORK_PLACEHOLDER = '${WORK}'
+
+
+def workspace_root() -> str:
+    """Root of the (volatile) training workspace: $PPASR_WORK, default
+    /root/work. Committed manifests reference wavs through a ${WORK}
+    placeholder instead of absolute paths so they keep working when the
+    workspace is regenerated at a different root (the wavs themselves are
+    synthesized, not committed)."""
+    return os.environ.get('PPASR_WORK', '/root/work')
+
+
+def expand_workspace(path: str) -> str:
+    """Expand a leading ${WORK} placeholder in a manifest audio path."""
+    if path.startswith(_WORK_PLACEHOLDER):
+        return workspace_root() + path[len(_WORK_PLACEHOLDER):]
+    return path
+
+
 def read_manifest(manifest_path, max_duration=float('inf'), min_duration=0.5):
     """JSON-lines manifest → list of dicts, filtered by duration
-    (reference utils.py:22-44)."""
+    (reference utils.py:22-44). audio_filepath entries may use a ${WORK}
+    placeholder (expand_workspace) — used by the committed eval manifest."""
     manifest = []
     with open(manifest_path, 'r', encoding='utf-8') as f:
         for json_line in f:
@@ -38,6 +58,9 @@ def read_manifest(manifest_path, max_duration=float('inf'), min_duration=0.5):
                 json_data = json.loads(json_line)
             except Exception as e:
                 raise IOError(f"Error reading manifest: {e}")
+            if 'audio_filepath' in json_data:
+                json_data['audio_filepath'] = expand_workspace(
+                    json_data['audio_filepath'])
             if max_duration >= json_data["duration"] >= min_duration:
                 manifest.append(json_data)
     return manifest

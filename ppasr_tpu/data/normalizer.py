@@ -36,15 +36,21 @@ class FeatureNormalizer:
         return (features - self.mean) * self.istd
 
     def compute_mean_istd(self, preprocess_conf, manifest,
-                          num_workers: int = 4, num_samples: int = 5000):
+                          num_workers: int = 4, num_samples: int = 5000,
+                          seed: int = 17):
         """Sample utterances, accumulate per-dim sum/sumsq, write JSON.
 
         ``manifest`` is a list of dicts with audio_filepath/text and optional
-        start_time/end_time (reference normalizer.py:43-92)."""
+        start_time/end_time (reference normalizer.py:43-92). Sampling is
+        seeded so a regenerated workspace reproduces the same stats from the
+        same corpus (the committed dataset/mean_istd.json predates the seed;
+        setup_campaign_workspace.sh syncs the committed file over the
+        recomputed one to keep the committed checkpoint's GlobalCMVN
+        consistent)."""
         if num_samples < 0 or num_samples > len(manifest):
             sampled = manifest
         else:
-            sampled = random.sample(list(manifest), num_samples)
+            sampled = random.Random(seed).sample(list(manifest), num_samples)
         logger.info(f"computing CMVN over {len(sampled)} utterances")
         conf = dict(preprocess_conf)
         featurizer = AudioFeaturizer(**conf, train=False)

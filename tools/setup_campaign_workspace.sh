@@ -1,8 +1,12 @@
 #!/bin/bash
 # Regenerate the accuracy-campaign workspace from scratch (idempotent).
 # The workspace lives OUTSIDE the repo and does not survive environment
-# resets; everything here is derived bit-exactly from seed 17 (see
-# docs/accuracy_campaign.md "Corpus").
+# resets. The corpus (wavs + transcripts) is derived bit-exactly from
+# seed 17; the CMVN stats and vocabulary are then synced FROM the
+# committed dataset/ snapshot so the workspace always matches the
+# committed trained checkpoint's baked-in GlobalCMVN (the committed
+# stats predate seeded CMVN sampling, so a recompute would differ
+# slightly; see docs/accuracy_campaign.md "Corpus").
 #
 # Usage: tools/setup_campaign_workspace.sh [workdir]   (default /root/work)
 #
@@ -34,6 +38,15 @@ if [ ! -f dataset/mean_istd.json ]; then
     --noise_dir="$WORK/dataset_src/audio/noise" \
     --num_samples=3000
 fi
+
+# keep the workspace consistent with the committed checkpoint: its
+# GlobalCMVN/vocab were baked from these exact files (ADVICE r4: an
+# unseeded recompute cannot reproduce them)
+for f in mean_istd.json vocabulary.txt; do
+  if [ -f "$REPO_DIR/dataset/$f" ]; then
+    cp "$REPO_DIR/dataset/$f" "dataset/$f"
+  fi
+done
 
 if [ ! -f lm/synth_lm.arpa ]; then
   echo "[setup] trigram LM on train transcripts"
