@@ -489,14 +489,14 @@ def bench_eval_pipeline(model, params, iters=5, bsz=64, frames=1000,
     return vals
 
 
-def bench_eval_pipeline_trained(trained, iters=5, bsz=64):
-    """bench_eval_pipeline on the REAL trained model over REAL test
-    utterances: trained CTC posteriors are blank-peaky, so the decoder's
-    frame compaction engages as it does in production eval."""
+def _trained_eval_batches(trained, n_utts=256, bsz=64):
+    """Featurize up to n_utts REAL test utterances and collate them into
+    duration-sorted B=bsz batches (each padded to its own 64-frame
+    bucket). Returns (batches, audio_s, refs): device-ready
+    (speech, lens) batches plus the per-batch reference texts."""
     from ppasr_tpu.config import load_config
     from ppasr_tpu.data.dataset import ASRDataset, collate_fn
-    from ppasr_tpu.decoders.beam_search_jax import JaxBeamSearchDecoder
-    model, params, vocab, data_dir = trained
+    _, _, vocab, data_dir = trained
     cfg = load_config(os.path.join(_REPO, 'configs', 'conformer.yml'))
     manifest = os.path.join(data_dir, 'manifest_features.test')
     if not os.path.exists(manifest):
@@ -506,27 +506,86 @@ def bench_eval_pipeline_trained(trained, iters=5, bsz=64):
     ds = ASRDataset(manifest, os.path.join(data_dir, 'vocabulary.txt'),
                     mean_istd_filepath=None,
                     preprocess_conf=dict(cfg.preprocess_conf))
-    items = [ds[i] for i in range(min(bsz, len(ds)))]
-    inputs, _, in_lens, _ = collate_fn(items, time_bucket=64,
-                                       label_bucket=16, shuffle=False)
-    speech = jnp.asarray(inputs)
-    lens = jnp.asarray(in_lens.astype(np.int32))
+    n = min(n_utts, len(ds))
+    # manifest order is duration-sorted — consecutive slices make
+    # well-bucketed batches (short utts don't pad to the longest overall)
+    items = [ds[i] for i in range(n)]
+    batches, refs, audio_s = [], [], 0.0
+    for i in range(0, n, bsz):
+        chunk = items[i:i + bsz]
+        if len(chunk) < bsz:
+            break
+        inputs, labels, in_lens, lab_lens = collate_fn(
+            chunk, time_bucket=64, label_bucket=16, shuffle=False)
+        batches.append((jnp.asarray(inputs),
+                        jnp.asarray(in_lens.astype(np.int32))))
+        refs.append([''.join(vocab[t] for t in labels[b][:int(lab_lens[b])])
+                     for b in range(len(chunk))])
+        audio_s += float(np.sum(in_lens)) / 100.0
+    return batches, audio_s, refs
+
+
+def bench_eval_pipeline_trained(trained, repeats=3, n_utts=256,
+                                beam_size=10, lm_path=None):
+    """bench_eval_pipeline on the REAL trained model over REAL test
+    utterances: trained CTC posteriors are blank-peaky, so the decoder's
+    frame compaction engages as it does in production eval. Batches are
+    decoded through decode_batches_pipelined — encoder/keep-map of batch
+    i+1 is in flight while batch i waits on its compacted-length host
+    sync — which is also how eval.py drives the chip. beam_size/lm_path
+    parameterize the decode config so the canonical record can carry both
+    the beam-10 fast config and the reference's beam-300+LM eval config
+    (/root/reference/configs/conformer.yml decoder section)."""
+    from ppasr_tpu.decoders.beam_search_jax import JaxBeamSearchDecoder
+    model, params, vocab, _ = trained
+    batches, audio_s, _refs = _trained_eval_batches(trained, n_utts=n_utts)
     fwd = jax.jit(lambda p, s, l: model.apply(
         p, s, l, method='get_encoder_logits'))
-    dec = JaxBeamSearchDecoder(vocab, beam_size=10)
+    dec = JaxBeamSearchDecoder(vocab, beam_size=beam_size,
+                               alpha=0.8, beta=1.0,
+                               language_model_path=lm_path)
 
     def run():
-        logits, olens = fwd(params, speech, lens)
-        return dec.decode_batch_from_logits(logits, np.asarray(olens))
-    run()  # compile
-    audio_s = float(np.sum(in_lens)) / 100.0
+        out = []
+        for res in dec.decode_batches_pipelined(
+                iter(batches), fwd=lambda b: fwd(params, *b)):
+            out.extend(res)
+        return out
+    run()  # compile (every bucket shape)
     vals = []
-    for _ in range(3):
+    for _ in range(repeats):
         start = time.perf_counter()
-        for _ in range(iters):
-            run()
-        vals.append(audio_s * iters / (time.perf_counter() - start))
+        texts = run()
+        vals.append(audio_s / (time.perf_counter() - start))
+    assert len(texts) == len(batches) * 64
     return vals
+
+
+def bench_cer_streaming(trained, n_utts=128):
+    """LIVE chunked-streaming CER on the trained checkpoint: encode real
+    test utterances through the production streaming path (B parallel
+    streams, 0.64 s windows, device-resident ring caches —
+    models/streaming_eval.py) and greedy-decode. The number the canonical
+    record needs next to cer_synth_heldout (offline): streaming models are
+    the reference's headline feature and its streaming CER is what a live
+    session sees (reference ppasr/predict.py:232-337)."""
+    from ppasr_tpu.decoders.greedy import greedy_decoder_batch
+    from ppasr_tpu.utils.metrics import cer
+    model, params, vocab, _ = trained
+    batches, _, refs = _trained_eval_batches(trained, n_utts=n_utts)
+    from ppasr_tpu.models.streaming_eval import (make_chunk_fn,
+                                                 streaming_encode_batch)
+    chunk_fn = make_chunk_fn(model)
+    errors = []
+    for (speech, lens), ref_texts in zip(batches, refs):
+        probs, olens = streaming_encode_batch(
+            model, params, np.asarray(speech), np.asarray(lens),
+            chunk_fn=chunk_fn)
+        results = greedy_decoder_batch(np.asarray(probs, np.float32),
+                                       olens, vocab)
+        for (_, text), ref in zip(results, ref_texts):
+            errors.append(cer(text, ref))
+    return float(np.mean(errors))
 
 
 def bench_beam_decode(iters=5, bsz=16, frames=250, vocab=4096):
@@ -660,11 +719,30 @@ def main():
         try:
             eval_tp = bench_eval_pipeline_trained(trained)
             emit("eval_pipeline_throughput_trained", eval_tp,
-                 "audio-seconds/s/chip (trained ckpt, real test utterances, "
-                 "encode+beam+texts, B=64)")
+                 "audio-seconds/s/chip (trained ckpt, 256 real test "
+                 "utterances, pipelined encode+beam10+texts, B=64; "
+                 "baseline figure used beam 300+LM — see the _beam300_lm "
+                 "variant)")
+            lm_path = os.path.join(_REPO, 'lm', 'synth_lm.arpa')
+            eval_tp_300 = bench_eval_pipeline_trained(
+                trained, beam_size=300,
+                lm_path=lm_path if os.path.exists(lm_path) else None)
+            emit("eval_pipeline_throughput_trained_beam300_lm", eval_tp_300,
+                 "audio-seconds/s/chip (trained ckpt, 256 real test "
+                 "utterances, pipelined encode+beam300+trigram-LM+texts, "
+                 "B=64 — the reference eval decode config, "
+                 "configs/conformer.yml:77-92)")
         except Exception as e:
             print(f"trained eval-pipeline bench unavailable "
                   f"(corpus not regenerated?): {e}", file=sys.stderr)
+        try:
+            stream_cer = bench_cer_streaming(trained)
+            emit("cer_synth_streaming", stream_cer,
+                 "LIVE chunked-streaming greedy CER, 128 real test "
+                 "utterances (0.64s windows, device ring caches)",
+                 vs_baseline=False)
+        except Exception as e:
+            print(f"streaming CER bench unavailable: {e}", file=sys.stderr)
         _, ckpt_dir = find_trained_model_dir()
         state_path = os.path.join(ckpt_dir, 'model.state')
         if os.path.exists(state_path):

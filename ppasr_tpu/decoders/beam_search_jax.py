@@ -963,30 +963,85 @@ class JaxBeamSearchDecoder:
 
     # ------------------------------------------------- softmax-free fast path
 
-    def _prepped_from_logits(self, logits, lens):
-        """Phase 1 straight from CTC logits (model.get_encoder_logits):
-        same candidates/compaction as _prepped on softmax(logits), but the
-        f32 [B, T, V] posterior is never materialized and the kept-row
-        gather moves compute-dtype (bf16) rows."""
+    def _begin_from_logits(self, logits, lens):
+        """Dispatch phase 1a from CTC logits WITHOUT any host sync: the
+        keep-map (and the max-compacted-length reduction) are enqueued on
+        the device and an opaque handle is returned. The host read of the
+        compacted length happens later, in _bucket_from_logits — so a
+        caller holding several batches can overlap batch i's device work
+        with batch i-1's host sync (decode_batches_pipelined)."""
         logits = jnp.asarray(logits)
-        lens = jnp.asarray(np.asarray(lens), jnp.int32)
+        lens = jnp.asarray(lens, jnp.int32)
         self._build_fns()
         if self.blank_skip_threshold >= 1.0:
-            return self._jit_prep_logits(logits, lens)
+            return ('nocompact', self._jit_prep_logits(logits, lens))
         src, lp_blank, lse_p, new_lens, raw_lens = \
             self._jit_keep_logits(logits, lens)
-        t_needed = int(jnp.max(new_lens))
+        t_needed_dev = jnp.max(new_lens)  # tiny async reduction
+        return ('compact', logits, src, lp_blank, lse_p, new_lens,
+                raw_lens, t_needed_dev)
+
+    def _bucket_from_logits(self, handle):
+        """Finish phase 1 for a _begin_from_logits handle: host-read the
+        compacted max length (the decode path's ONE unavoidable device→host
+        sync), bucket T to a 64-frame multiple, and run the vocab-sized
+        top-k on the compacted rows only. Returns the scan inputs."""
+        if handle[0] == 'nocompact':
+            return handle[1]
+        (_, logits, src, lp_blank, lse_p, new_lens, raw_lens,
+         t_needed_dev) = handle
+        t_needed = int(t_needed_dev)
         bucket = min(max(64, ((t_needed + 63) // 64) * 64),
                      logits.shape[1])
         cand, cand_lp = self._jit_gather_topk_logits(
             logits, lse_p[:, :bucket], src[:, :bucket], raw_lens)
         return lp_blank[:, :bucket], cand, cand_lp, new_lens
 
+    def _prepped_from_logits(self, logits, lens):
+        """Phase 1 straight from CTC logits (model.get_encoder_logits):
+        same candidates/compaction as _prepped on softmax(logits), but the
+        f32 [B, T, V] posterior is never materialized and the kept-row
+        gather moves compute-dtype (bf16) rows."""
+        return self._bucket_from_logits(self._begin_from_logits(logits,
+                                                                lens))
+
     def decode_batch_from_logits(self, logits, lens):
         lp_blank, cand, cand_lp, lens = self._prepped_from_logits(logits,
                                                                   lens)
         packed = self._jit_scan(lp_blank, cand, cand_lp, lens)
         return unpack_results(packed, self.vocab_list)
+
+    def decode_batches_pipelined(self, batches, fwd=None):
+        """Software-pipelined batch decode over an iterable of batches,
+        yielding each batch's list of (score, text) in order.
+
+        ``batches`` yields (logits, lens) device pairs — or arbitrary
+        items that ``fwd`` maps to such a pair (e.g. the jitted encoder
+        call). Three batches are kept in flight: batch i+1's encoder/
+        keep-map dispatches BEFORE batch i's compacted-length host sync,
+        and batch i-1's packed results transfer/unpack while both compute.
+        On a high-latency device link (24-43 ms/round-trip through the
+        axon tunnel) the per-batch syncs otherwise serialize with compute
+        and dominate short-utterance eval (VERDICT r4:
+        eval_pipeline_throughput_trained)."""
+        from collections import deque
+        pend_bucket = deque()   # handles awaiting the length sync + scan
+        pend_unpack = deque()   # packed device buffers awaiting host read
+        for item in batches:
+            pair = fwd(item) if fwd is not None else item
+            pend_bucket.append(self._begin_from_logits(*pair))
+            if len(pend_bucket) >= 2:
+                packed = self._jit_scan(
+                    *self._bucket_from_logits(pend_bucket.popleft()))
+                pend_unpack.append(packed)
+            if len(pend_unpack) >= 2:
+                yield unpack_results(pend_unpack.popleft(),
+                                     self.vocab_list)
+        while pend_bucket:
+            pend_unpack.append(self._jit_scan(
+                *self._bucket_from_logits(pend_bucket.popleft())))
+        while pend_unpack:
+            yield unpack_results(pend_unpack.popleft(), self.vocab_list)
 
     def decode_batch_states_from_logits(self, logits, lens) -> BeamState:
         lp_blank, cand, cand_lp, lens = self._prepped_from_logits(logits,

@@ -677,13 +677,32 @@ class PPASRTrainer:
 
     # -------------------------------------------------------------- evaluate
 
+    def _streaming_encode_batch(self, model, params, inputs, in_lens,
+                                chunk: int = 16, left_chunks: int = 16):
+        """models/streaming_eval.streaming_encode_batch with the jitted
+        chunk step cached on the trainer (evaluate runs once per epoch;
+        a fresh lambda would force a full retrace each call)."""
+        from ppasr_tpu.models.streaming_eval import (make_chunk_fn,
+                                                     streaming_encode_batch)
+        if getattr(self, '_eval_chunk_model', None) is not model:
+            self._eval_chunk_model = model
+            self._eval_chunk_fn = make_chunk_fn(model)
+        return streaming_encode_batch(model, params, inputs, in_lens,
+                                      chunk=chunk, left_chunks=left_chunks,
+                                      chunk_fn=self._eval_chunk_fn)
+
     def evaluate(self, resume_model: str = 'models/', state=None, model=None,
                  test_dataset=None, display_result: bool = False,
-                 max_batches: int = None, sample_log_n: int = 0):
+                 max_batches: int = None, sample_log_n: int = 0,
+                 streaming_eval: bool = False):
         """Greedy-decode the test set and compute cer/wer
         (reference trainer.py:592-645). Returns (error_rate, loss).
         ``sample_log_n``: log the first N ref/hyp pairs (per-epoch decode
-        sampling during training without display_result's full dump)."""
+        sampling during training without display_result's full dump).
+        ``streaming_eval``: encode through the chunked-streaming path
+        (_streaming_encode_batch) instead of full-context — measures the
+        CER a live streaming session would see (the reference's streaming
+        models are its headline feature, predict.py:232-337)."""
         dataset_conf = self.configs.dataset_conf
         if test_dataset is None:
             test_dataset = self._build_dataset(train=False)
@@ -751,12 +770,25 @@ class PPASRTrainer:
                      and self._eval_rescore_fn is not None)
         from_logits = (not rescoring and self._eval_logits_fn is not None
                        and hasattr(decoder, 'decode_batch_from_logits'))
+        if streaming_eval:
+            if self.use_model == 'deepspeech2' or \
+                    not hasattr(model, 'init_state'):
+                raise NotImplementedError(
+                    "streaming_eval drives the attention-family chunk API "
+                    "(get_encoder_out_chunk with a ring-cache "
+                    "StreamingState); use the Predictor's predict_stream "
+                    "for deepspeech2")
+            rescoring = False
+            from_logits = False
         errors, losses = [], []
         for i, (inputs, labels, in_lens, lab_lens) in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
             encoder_out = None
-            if rescoring:
+            if streaming_eval:
+                probs, olens = self._streaming_encode_batch(
+                    model, params, inputs, in_lens)
+            elif rescoring:
                 encoder_out, probs, olens = self._eval_rescore_fn(
                     params, jnp.asarray(inputs), jnp.asarray(in_lens))
             elif from_logits:

@@ -418,3 +418,35 @@ def test_wide_beam_large_batch_prefix_writes():
     dec8 = JaxBeamSearchDecoder(vocab, beam_size=300)
     res8 = dec8.decode_batch(probs[:8], lens[:8])
     assert [h for s, h in res8] == hyps[:8]
+
+
+def test_pipelined_decode_matches_per_batch():
+    """decode_batches_pipelined must yield byte-identical transcripts (and
+    scores) to per-batch decode_batch_from_logits, in order, for 1..5
+    batches of differing lengths — with compaction on and off. The
+    pipeline only reorders host syncs, never device math."""
+    rng = np.random.default_rng(11)
+    for thresh in (1.0, 0.9):
+        dec_a = JaxBeamSearchDecoder(VOCAB, beam_size=6, cutoff_top_n=10,
+                                     alpha=0, beta=0,
+                                     blank_skip_threshold=thresh)
+        dec_b = JaxBeamSearchDecoder(VOCAB, beam_size=6, cutoff_top_n=10,
+                                     alpha=0, beta=0,
+                                     blank_skip_threshold=thresh)
+        for n_batches in (1, 3, 5):
+            batches = []
+            for i in range(n_batches):
+                b, t = 2 + i % 2, 18 + 6 * i
+                lg = (rng.standard_normal((b, t, V)) * 3).astype(np.float32)
+                lg[:, ::2, 0] += 9.0
+                lens = [t] * b
+                lens[0] = max(1, t - 5)
+                batches.append((jnp.asarray(lg), jnp.asarray(lens)))
+            ref = [dec_a.decode_batch_from_logits(lg, ln)
+                   for lg, ln in batches]
+            piped = list(dec_b.decode_batches_pipelined(iter(batches)))
+            assert len(piped) == len(ref)
+            for ra, rb in zip(ref, piped):
+                for (sa, ta), (sb, tb) in zip(ra, rb):
+                    assert ta == tb
+                    assert abs(sa - sb) < 1e-5

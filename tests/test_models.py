@@ -169,3 +169,65 @@ def test_conformer_nonstreaming_full_context():
                     tlens, deterministic=True)
     probs, olens = m.apply(params, speech, lens, method='get_encoder_out')
     assert probs.shape == (1, 11, 30)
+
+
+def test_trainer_streaming_encode_batch_matches_masked_full():
+    """trainer._streaming_encode_batch (batched eval-time chunk driver,
+    eval.py --streaming_eval) ≡ full forward with the equivalent
+    fixed-chunk mask, per stream, up to each stream's out_len — including
+    a short stream whose tail window is zero-padded."""
+    from ppasr_tpu.trainer import PPASRTrainer
+
+    m = _small_conformer(streaming=True)
+    chunk, left_chunks = 16, 16
+    sub, ctx = 4, 7
+    t_full = (chunk * 3 - 1) * sub + ctx  # 3 full windows
+    t_short = t_full - 100
+    rng = np.random.default_rng(7)
+    speech = jnp.asarray(rng.standard_normal((2, t_full, 80)) * 0.5,
+                         jnp.float32)
+    speech = speech.at[1, t_short:].set(0.0)
+    lens = np.asarray([t_full, t_short], np.int32)
+    text = jnp.asarray([[1, 2, -1], [1, 2, -1]], jnp.int32)
+    tlens = jnp.asarray([2, 2])
+    params = m.init({'params': RNG, 'dropout': RNG, 'chunk': RNG},
+                    speech, jnp.asarray(lens), text, tlens,
+                    deterministic=False)
+
+    class _Host:  # bare attribute carrier for the unbound trainer method
+        use_model = 'conformer'
+    host = _Host()
+    probs_s, olens_s = PPASRTrainer._streaming_encode_batch(
+        host, m, params, np.asarray(speech), lens,
+        chunk=chunk, left_chunks=left_chunks)
+    probs_s = np.asarray(probs_s)
+
+    def full_probs(sp, ln):
+        def fn(mdl, s, l, **kw):
+            enc_out, mask = mdl.encoder(s, l, **kw)
+            return mdl.ctc.softmax(enc_out), mask
+        probs, mask = m.apply(params, sp, ln, decoding_chunk_size=chunk,
+                              num_decoding_left_chunks=left_chunks,
+                              deterministic=True, method=fn)
+        return np.asarray(probs), np.asarray(mask[:, 0].sum(-1))
+
+    probs_f, olens_f = full_probs(speech, jnp.asarray(lens))
+    # expected out lens: (len - ctx) // sub + 1
+    assert olens_s.tolist() == [(t_full - ctx) // sub + 1,
+                                (t_short - ctx) // sub + 1]
+    window, stride = (chunk - 1) * sub + ctx, chunk * sub
+    for b in range(2):
+        # frames from windows fully inside the stream are exact; the final
+        # partial window zero-pads inside the attention window — the same
+        # approximation the production predictor's flush makes — so the
+        # tail frames are checked loosely (argmax), not bitwise
+        n_exact = ((int(lens[b]) - window) // stride + 1) * chunk
+        n_exact = min(n_exact, int(olens_s[b]), int(olens_f[b]))
+        assert n_exact >= chunk
+        np.testing.assert_allclose(probs_s[b, :n_exact],
+                                   probs_f[b, :n_exact],
+                                   rtol=3e-3, atol=3e-3)
+        n = min(int(olens_s[b]), int(olens_f[b]))
+        agree = np.mean(probs_s[b, :n].argmax(-1) ==
+                        probs_f[b, :n].argmax(-1))
+        assert agree >= 0.9, agree
