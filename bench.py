@@ -581,7 +581,7 @@ def bench_cer_streaming(trained, n_utts=128):
         probs, olens = streaming_encode_batch(
             model, params, np.asarray(speech), np.asarray(lens),
             chunk_fn=chunk_fn)
-        results = greedy_decoder_batch(np.asarray(probs, np.float32),
+        results = greedy_decoder_batch(probs,
                                        olens, vocab)
         for (_, text), ref in zip(results, ref_texts):
             errors.append(cer(text, ref))

@@ -45,10 +45,22 @@ def greedy_decoder(probs, vocabulary, blank_index: int = 0):
 
 
 def greedy_decoder_batch(probs_batch, lens, vocabulary, blank_index: int = 0):
-    """[B, T, V] padded probs + [B] lens → list of (score, text)."""
+    """[B, T, V] padded probs + [B] lens → list of (score, text).
+
+    Pass DEVICE arrays straight in: the argmax/max reduction then runs on
+    device and only the [B, T] id/score planes cross to the host — ~V×
+    less device→host traffic than fetching the posteriors, which matters
+    enormously through a high-latency/low-bandwidth device tunnel
+    (per-epoch eval went ~7 min → seconds when the [B,T,V] transfer was
+    eliminated)."""
+    if isinstance(probs_batch, jnp.ndarray) \
+            and not isinstance(probs_batch, np.ndarray):
+        ids_dev, maxp_dev = ctc_argmax(probs_batch)
+        ids_b, maxp_b = np.asarray(ids_dev), np.asarray(maxp_dev)
+    else:
+        arr = np.asarray(probs_batch)
+        ids_b, maxp_b = arr.argmax(-1), arr.max(-1)
     out = []
-    ids_b, maxp_b = np.asarray(probs_batch).argmax(-1), \
-        np.asarray(probs_batch).max(-1)
     for b in range(ids_b.shape[0]):
         t = int(lens[b])
         out.append(_collapse(ids_b[b, :t], maxp_b[b, :t], vocabulary,

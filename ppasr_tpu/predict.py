@@ -418,7 +418,7 @@ class PPASRPredictor:
             from ppasr_tpu.decoders.greedy import greedy_decoder_batch
             probs, olens = self._predict_fn(self.params, jnp.asarray(batch),
                                             jnp.asarray(lens))
-            results = greedy_decoder_batch(np.asarray(probs),
+            results = greedy_decoder_batch(probs,
                                            np.asarray(olens),
                                            self.vocab_list)
         out = []

@@ -813,7 +813,7 @@ class PPASRTrainer:
                 # the [B,T,V] posteriors on device, host decoders convert
                 results = decoder.decode_batch(probs, np.asarray(olens))
             else:
-                results = greedy_decoder_batch(np.asarray(probs),
+                results = greedy_decoder_batch(probs,
                                                np.asarray(olens), vocab)
             for b, (score, text) in enumerate(results):
                 target = labels_to_string(labels[b][:int(lab_lens[b])],

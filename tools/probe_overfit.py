@@ -244,7 +244,7 @@ def main():
 
     def decode_cer(params, speech, lens, refs):
         probs, out_lens = encode(params, speech, lens)
-        results = greedy_decoder_batch(np.asarray(probs, np.float32),
+        results = greedy_decoder_batch(probs,
                                        np.asarray(out_lens), vocab_list)
         cers = [cer(hyp, ref) for (score, hyp), ref in zip(results, refs)]
         return float(np.mean(cers)), results
