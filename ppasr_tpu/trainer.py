@@ -127,13 +127,18 @@ class PPASRTrainer:
                                    dataset_conf.test_manifest)
         logger.info("create_data done")
 
-    def extract_features(self, save_dir: str = 'dataset/features'):
+    def extract_features(self, save_dir: str = 'dataset/features',
+                         splits=('train', 'test')):
         """Pre-compute features into pooled .npy files + manifest_features
         lists (reference trainer.py:128-170): utterances are appended into
         one array until ~600 s of audio, then flushed; entries carry
-        start_frame/end_frame slices."""
-        for data_list_file in [self.configs.dataset_conf.train_manifest,
-                               self.configs.dataset_conf.test_manifest]:
+        start_frame/end_frame slices. ``splits`` selects which manifests to
+        process — extracting only the test split makes every subsequent
+        per-epoch eval read mmap'd features instead of re-featurizing the
+        whole test set on the (small) host each epoch."""
+        manifests = {'train': self.configs.dataset_conf.train_manifest,
+                     'test': self.configs.dataset_conf.test_manifest}
+        for data_list_file in [manifests[s] for s in splits]:
             split = data_list_file.split('.')[-1]
             out_dir = os.path.join(save_dir, split, str(int(time.time())))
             os.makedirs(out_dir, exist_ok=True)
@@ -183,6 +188,17 @@ class PPASRTrainer:
         manifest = manifest_override or (
             dataset_conf.train_manifest if train
             else dataset_conf.test_manifest)
+        if not train and manifest_override is None:
+            # prefer precomputed features for evaluation when present
+            # (extract_features output: identical raw-fbank values, mmap
+            # read instead of per-epoch host featurize of the whole test
+            # set). Opt out with dataset_conf.use_precomputed_features=False.
+            feat_manifest = manifest.replace('manifest', 'manifest_features')
+            if feat_manifest != manifest and os.path.exists(feat_manifest) \
+                    and dataset_conf.get('use_precomputed_features', True):
+                logger.info(f"eval uses precomputed features: "
+                            f"{feat_manifest}")
+                manifest = feat_manifest
         # NOTE: CMVN is baked into the model (GlobalCMVN from
         # mean_istd_path, as in reference conformer/model.py:40-47);
         # the dataset yields raw features.
