@@ -569,20 +569,20 @@ def bench_cer_streaming(trained, n_utts=128):
     record needs next to cer_synth_heldout (offline): streaming models are
     the reference's headline feature and its streaming CER is what a live
     session sees (reference ppasr/predict.py:232-337)."""
-    from ppasr_tpu.decoders.greedy import greedy_decoder_batch
+    from ppasr_tpu.decoders.greedy import _collapse
     from ppasr_tpu.utils.metrics import cer
     model, params, vocab, _ = trained
     batches, _, refs = _trained_eval_batches(trained, n_utts=n_utts)
-    from ppasr_tpu.models.streaming_eval import (make_chunk_fn,
-                                                 streaming_encode_batch)
-    chunk_fn = make_chunk_fn(model)
+    from ppasr_tpu.models.streaming_eval import (make_chunk_argmax_fn,
+                                                 streaming_greedy_batch)
+    argmax_fn = make_chunk_argmax_fn(model)
     errors = []
     for (speech, lens), ref_texts in zip(batches, refs):
-        probs, olens = streaming_encode_batch(
+        ids, mp, olens = streaming_greedy_batch(
             model, params, np.asarray(speech), np.asarray(lens),
-            chunk_fn=chunk_fn)
-        results = greedy_decoder_batch(probs,
-                                       olens, vocab)
+            argmax_fn=argmax_fn)
+        results = [_collapse(ids[b, :int(olens[b])], mp[b, :int(olens[b])],
+                             vocab) for b in range(ids.shape[0])]
         for (_, text), ref in zip(results, ref_texts):
             errors.append(cer(text, ref))
     return float(np.mean(errors))

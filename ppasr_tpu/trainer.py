@@ -801,9 +801,31 @@ class PPASRTrainer:
             if max_batches is not None and i >= max_batches:
                 break
             encoder_out = None
+            stream_results = None
             if streaming_eval:
-                probs, olens = self._streaming_encode_batch(
-                    model, params, inputs, in_lens)
+                if decoder is None:
+                    # greedy: per-window device argmax — one fixed-shape
+                    # compiled program for all batches/window counts (a
+                    # [B,T',V] probs concat costs a fresh tunnel compile
+                    # per distinct window count)
+                    from ppasr_tpu.decoders.greedy import _collapse
+                    from ppasr_tpu.models.streaming_eval import (
+                        make_chunk_argmax_fn, streaming_greedy_batch)
+                    if getattr(self, '_eval_chunk_argmax_model', None) \
+                            is not model:
+                        self._eval_chunk_argmax_model = model
+                        self._eval_chunk_argmax_fn = \
+                            make_chunk_argmax_fn(model)
+                    ids, mp, olens = streaming_greedy_batch(
+                        model, params, inputs, in_lens,
+                        argmax_fn=self._eval_chunk_argmax_fn)
+                    stream_results = [
+                        _collapse(ids[b, :int(olens[b])],
+                                  mp[b, :int(olens[b])], vocab)
+                        for b in range(ids.shape[0])]
+                else:
+                    probs, olens = self._streaming_encode_batch(
+                        model, params, inputs, in_lens)
             elif rescoring:
                 encoder_out, probs, olens = self._eval_rescore_fn(
                     params, jnp.asarray(inputs), jnp.asarray(in_lens))
@@ -817,7 +839,9 @@ class PPASRTrainer:
                                         jnp.asarray(in_lens),
                                         jnp.asarray(labels),
                                         jnp.asarray(lab_lens))))
-            if rescoring:
+            if stream_results is not None:
+                results = stream_results
+            elif rescoring:
                 results = decoder.decode_batch_rescore(
                     params, encoder_out, probs, np.asarray(olens))
             elif from_logits:

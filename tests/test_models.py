@@ -231,3 +231,29 @@ def test_trainer_streaming_encode_batch_matches_masked_full():
         agree = np.mean(probs_s[b, :n].argmax(-1) ==
                         probs_f[b, :n].argmax(-1))
         assert agree >= 0.9, agree
+
+
+def test_streaming_greedy_batch_matches_probs_argmax():
+    """streaming_greedy_batch (per-window device argmax, one fixed-shape
+    program) must produce exactly argmax/max of streaming_encode_batch's
+    probs on every valid frame, for uneven stream lengths."""
+    from ppasr_tpu.models.streaming_eval import (streaming_encode_batch,
+                                                 streaming_greedy_batch)
+    m = _small_conformer(streaming=True)
+    t_full = 16 * 3 * 4 + 7
+    speech = np.random.default_rng(3).standard_normal(
+        (2, t_full, 80)).astype(np.float32) * 0.5
+    lens = np.asarray([t_full, t_full - 60], np.int32)
+    params = m.init({'params': RNG, 'dropout': RNG, 'chunk': RNG},
+                    jnp.asarray(speech), jnp.asarray(lens),
+                    jnp.asarray([[1, 2, -1], [1, 2, -1]], jnp.int32),
+                    jnp.asarray([2, 2]), deterministic=False)
+    probs, ol1 = streaming_encode_batch(m, params, speech, lens)
+    ids, mp, ol2 = streaming_greedy_batch(m, params, speech, lens)
+    assert (ol1 == ol2).all()
+    ref_ids = np.asarray(jnp.argmax(probs, -1))
+    ref_mp = np.asarray(jnp.max(probs, -1))
+    for b in range(2):
+        n = int(ol1[b])
+        assert (ids[b, :n] == ref_ids[b, :n]).all()
+        np.testing.assert_allclose(mp[b, :n], ref_mp[b, :n], rtol=1e-5)
